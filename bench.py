@@ -1,0 +1,80 @@
+"""Benchmark: fused synthetic-noise training throughput (patches/sec/chip).
+
+Measures the flagship end-to-end train step — on-device ELD noise-parameter
+sampling + physics noise synthesis + U-Net forward/backward + Adam, one
+jitted program — on 512x512x4 Bayer patches, the reference training patch
+geometry (train_syn.py / sid_dataset.py patch_size=512).
+
+Baseline: the PyTorch-CUDA reference trains the same U-Net at batch 1 with
+noise synthesized in CPU DataLoader workers.  No GPU is reachable here, so
+BASELINE.md records an estimated 12 patches/s for the cuda-10.1-era
+reference GPU; vs_baseline is measured/12.  North star (BASELINE.json):
+>= 5x on a v5e-8, i.e. >= 60 patches/s/chip x 8.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+
+BASELINE_PATCHES_PER_SEC = 12.0  # estimated reference GPU throughput (BASELINE.md)
+PATCH = 512
+STEPS = 10
+WARMUP = 3
+
+
+def build(batch):
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch("unet", 4, 4)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, PATCH, PATCH, 4))
+    step = make_train_step(model, loss="l1", noise_model="eld", bank=bank)
+    clean = jnp.asarray(
+        onp.random.default_rng(0).random((batch, PATCH, PATCH, 4), dtype=onp.float32)
+    )
+    return state, step, {"clean": clean}
+
+
+def run(batch):
+    state, step, data = build(batch)
+    for i in range(WARMUP):
+        state, m = step(state, data, jax.random.PRNGKey(i))
+    jax.block_until_ready(m["Pixel"])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, m = step(state, data, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(m["Pixel"])
+    dt = time.perf_counter() - t0
+    return batch * STEPS / dt
+
+
+def main():
+    best = 0.0
+    for batch in (16, 8, 4, 2, 1):
+        try:
+            pps = run(batch)
+        except Exception as e:  # OOM or compile failure at this batch
+            print(f"[bench] batch {batch} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+        print(f"[bench] batch {batch}: {pps:.2f} patches/s", file=sys.stderr)
+        best = max(best, pps)
+        if pps < best * 0.7:  # past the knee, stop scanning
+            break
+    print(json.dumps({
+        "metric": "syn_train_throughput_512px",
+        "value": round(best, 2),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(best / BASELINE_PATCHES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

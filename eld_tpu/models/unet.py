@@ -1,0 +1,121 @@
+"""SID-style 5-level U-Net denoiser (the reference's only architecture).
+
+Topology parity with ``models/arch/Unet.py:6-104``: two 3x3 convs +
+LeakyReLU(0.2) per level, encoder channels 32->512 with 2x2 maxpool,
+decoder with 2x2 stride-2 transposed convs and skip concatenations, 1x1
+output conv, ~7.76M params at 4->4 channels.
+
+TPU-first choices:
+  * NHWC layout end-to-end (XLA's preferred conv layout on TPU);
+  * optional bf16 compute dtype with f32 params (MXU-friendly);
+  * optional per-level rematerialization (``jax.checkpoint``) to trade
+    FLOPs for HBM when running full-frame eval;
+  * initialization mirrors torch's Conv2d default (kaiming-uniform
+    a=sqrt(5) => U(+-1/sqrt(fan_in)) for kernel and bias), which is what
+    the reference trains with (custom init is skipped at
+    ``models/ELD_model.py:393``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(-b, b), b = 1/sqrt(fan_in)
+_torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def lrelu(x):
+    """LeakyReLU(0.2) written as max(0.2x, x), like the reference."""
+    return jnp.maximum(0.2 * x, x)
+
+
+class ConvBlock(nn.Module):
+    """Two 3x3 convs with LeakyReLU(0.2)."""
+
+    features: int
+    in_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=_torch_kernel_init,
+            bias_init=_torch_bias_init(self.in_features * 9),
+        )(x)
+        x = lrelu(x)
+        x = nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=_torch_kernel_init,
+            bias_init=_torch_bias_init(self.features * 9),
+        )(x)
+        return lrelu(x)
+
+
+class UNetSeeInDark(nn.Module):
+    in_channels: int = 4
+    out_channels: int = 4
+    base_width: int = 32
+    dtype: Dtype = jnp.float32   # compute dtype; params stay f32
+    remat: bool = False          # checkpoint each level (full-frame eval)
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.base_width
+        widths = [w, 2 * w, 4 * w, 8 * w, 16 * w]  # 32..512
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
+
+        block = ConvBlock
+        if self.remat:
+            block = nn.remat(ConvBlock)
+
+        # encoder
+        skips = []
+        feats = x
+        in_feats = self.in_channels
+        for level, width in enumerate(widths):
+            feats = block(width, in_feats, dtype=self.dtype, name=f"enc{level}")(feats)
+            if level < 4:
+                skips.append(feats)
+                feats = nn.max_pool(feats, (2, 2), strides=(2, 2))
+            in_feats = width
+
+        # decoder
+        for level in range(3, -1, -1):
+            width = widths[level]
+            feats = nn.ConvTranspose(
+                width, (2, 2), strides=(2, 2), dtype=self.dtype,
+                kernel_init=_torch_kernel_init,
+                use_bias=True,
+                bias_init=_torch_bias_init(widths[level + 1] * 4),
+            )(feats)
+            feats = jnp.concatenate([feats, skips[level]], axis=-1)
+            feats = block(width, 2 * width, dtype=self.dtype, name=f"dec{level}")(feats)
+
+        out = nn.Conv(
+            self.out_channels, (1, 1), dtype=self.dtype,
+            kernel_init=_torch_kernel_init,
+            bias_init=_torch_bias_init(w),
+        )(feats)
+        return out.astype(in_dtype)
+
+    @staticmethod
+    def alignment() -> int:
+        """Spatial alignment required by the 4 pooling levels (16 px)."""
+        return 16

@@ -1,0 +1,105 @@
+"""Functional train/eval steps, mesh-aware.
+
+The flagship path is the *fused synthetic-noise train step*: clean patches
+stream to the device once; noise-parameter sampling, physics noise
+synthesis, U-Net forward/backward, and Adam all run inside ONE jitted
+program, data-parallel over the mesh's ``data`` axis.  This replaces the
+reference's CPU DataLoader-worker noise loop (``train_syn.py:78-80`` +
+``noise.py:148-170``) — the north-star fusion in BASELINE.json.
+
+Loss parity: L1 or L2 pixel loss (``models/losses.py:25-38``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eld_tpu.noise.model import synthesize
+from eld_tpu.noise.params import CameraParamsBank, sample_params_batch
+from eld_tpu.parallel.mesh import DATA_AXIS
+
+
+def pixel_loss(pred, target, kind: str = "l1"):
+    if kind == "l1":
+        return jnp.mean(jnp.abs(pred - target))
+    if kind == "l2":
+        return jnp.mean((pred - target) ** 2)
+    raise ValueError(f"unknown loss {kind!r}")
+
+
+def make_train_step(
+    model,
+    loss: str = "l1",
+    noise_model: Optional[str] = None,
+    bank: Optional[CameraParamsBank] = None,
+    k_mode: str = "overridden",
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    If ``noise_model`` is set the step takes {"clean": (N,H,W,C)} batches
+    and synthesizes the noisy input on-device; otherwise it takes
+    {"input", "target"} paired batches (the ``train_real.py`` path).
+
+    With ``mesh`` the step is jitted with explicit shardings: batch over
+    ``data``, state replicated — XLA inserts the gradient psum over ICI.
+    """
+
+    synthetic = noise_model is not None
+    if synthetic and bank is None:
+        raise ValueError("synthetic training needs a CameraParamsBank")
+
+    def step(state, batch, key):
+        if synthetic:
+            clean = batch["clean"]
+            k_params, k_apply = jax.random.split(key)
+            nparams = sample_params_batch(k_params, bank, clean.shape[0], k_mode=k_mode)
+            noisy = synthesize(k_apply, clean, nparams, model=noise_model, clip=True)
+            target = clean
+        else:
+            noisy = batch["input"]
+            target = batch["target"]
+
+        def loss_fn(params):
+            pred = model.apply({"params": params}, noisy)
+            return pixel_loss(pred, target, loss)
+
+        loss_val, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"Pixel": loss_val}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(DATA_AXIS))
+    batch_sh = {"clean": batched} if synthetic else {"input": batched, "target": batched}
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_forward(model, mesh=None, chop: bool = False):
+    """Jitted inference: (params, x) -> pred; optional 4-tile chop."""
+    from eld_tpu.ops.chop import forward_chop
+
+    def fwd(params, x):
+        apply_fn = lambda t: model.apply({"params": params}, t)
+        if chop:
+            return forward_chop(apply_fn, x)
+        return apply_fn(x)
+
+    if mesh is None:
+        return jax.jit(fwd)
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(fwd, in_shardings=(repl, batched), out_shardings=batched)

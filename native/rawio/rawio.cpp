@@ -1,0 +1,371 @@
+// rawio — minimal native raw-image reader (C++).
+//
+// TPU-era stand-in for the reference's customized rawpy/LibRaw dependency
+// (README.md:36-38): exposes exactly the surface the framework needs —
+// the raw mosaic, black/white levels, CFA pattern, camera white balance,
+// color matrix, and the EXIF ISO/ExposureTime pair used to compute the
+// ELD exposure ratio (dataset/sid_dataset.py:21-34, 397-401).
+//
+// Scope: the TIFF/TIFF-EP container family (.dng/.ARW/.NEF/.CR2 share it).
+// Decodes uncompressed (Compression=1) 8/16-bit mosaics and linear DNGs;
+// vendor-compressed payloads (e.g. Sony ARW 2.3) report
+// RIO_E_UNSUPPORTED_COMPRESSION so callers can gate or pre-convert to DNG.
+// C ABI for ctypes (eld_tpu/data/rawio.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+enum Err {
+  RIO_OK = 0,
+  RIO_E_IO = -1,
+  RIO_E_FORMAT = -2,
+  RIO_E_UNSUPPORTED_COMPRESSION = -3,
+  RIO_E_NOT_FOUND = -4,
+};
+
+struct Entry {
+  uint16_t tag;
+  uint16_t type;
+  uint32_t count;
+  uint64_t value_off;  // offset of value data in file
+  uint64_t inline_val; // value if it fits inline
+  bool is_inline;
+};
+
+struct Ifd {
+  std::vector<Entry> entries;
+};
+
+struct Raw {
+  const uint8_t* d = nullptr;
+  size_t n = 0;
+  int fd = -1;
+  bool le = true;  // little endian
+
+  // parsed results
+  double iso = 0, exposure = 0;
+  uint32_t width = 0, height = 0;
+  uint32_t compression = 0, bits = 0;
+  uint64_t strip_off = 0, strip_bytes = 0;
+  std::vector<uint64_t> strip_offs, strip_cnts;
+  uint32_t rows_per_strip = 0;
+  double black[4] = {0, 0, 0, 0};
+  double white = 0;
+  uint8_t cfa[4] = {0, 1, 1, 2};  // row-major 2x2, 0=R 1=G 2=B
+  double wb[4] = {1, 1, 1, 1};     // R G B G gains
+  double ccm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  bool has_ccm = false;
+};
+
+uint16_t rd16(const Raw& r, size_t off) {
+  if (off + 2 > r.n) return 0;
+  return r.le ? (r.d[off] | r.d[off + 1] << 8) : (r.d[off] << 8 | r.d[off + 1]);
+}
+uint32_t rd32(const Raw& r, size_t off) {
+  if (off + 4 > r.n) return 0;
+  return r.le ? (r.d[off] | r.d[off + 1] << 8 | r.d[off + 2] << 16 |
+                 (uint32_t)r.d[off + 3] << 24)
+              : ((uint32_t)r.d[off] << 24 | r.d[off + 1] << 16 |
+                 r.d[off + 2] << 8 | r.d[off + 3]);
+}
+
+size_t type_size(uint16_t t) {
+  switch (t) {
+    case 1: case 2: case 6: case 7: return 1;   // byte/ascii/sbyte/undef
+    case 3: case 8: return 2;                   // short
+    case 4: case 9: case 11: return 4;          // long/slong/float
+    case 5: case 10: case 12: return 8;         // rational/srational/double
+    default: return 1;
+  }
+}
+
+bool parse_ifd(const Raw& r, size_t off, Ifd* out, size_t* next) {
+  if (off + 2 > r.n) return false;
+  uint16_t cnt = rd16(r, off);
+  if (cnt > 4096) return false;
+  size_t p = off + 2;
+  for (uint16_t i = 0; i < cnt; ++i, p += 12) {
+    if (p + 12 > r.n) return false;
+    Entry e;
+    e.tag = rd16(r, p);
+    e.type = rd16(r, p + 2);
+    e.count = rd32(r, p + 4);
+    size_t bytes = type_size(e.type) * (size_t)e.count;
+    if (bytes <= 4) {
+      e.is_inline = true;
+      e.value_off = p + 8;
+    } else {
+      e.is_inline = false;
+      e.value_off = rd32(r, p + 8);
+    }
+    out->entries.push_back(e);
+  }
+  if (next) *next = (p + 4 <= r.n) ? rd32(r, p) : 0;
+  return true;
+}
+
+const Entry* find(const Ifd& ifd, uint16_t tag) {
+  for (auto& e : ifd.entries)
+    if (e.tag == tag) return &e;
+  return nullptr;
+}
+
+double read_val(const Raw& r, const Entry& e, uint32_t idx) {
+  size_t off = e.value_off + (size_t)idx * type_size(e.type);
+  switch (e.type) {
+    case 1: case 7: return off < r.n ? r.d[off] : 0;
+    case 3: return rd16(r, off);
+    case 4: return rd32(r, off);
+    case 5: {  // rational
+      double num = rd32(r, off), den = rd32(r, off + 4);
+      return den != 0 ? num / den : 0;
+    }
+    case 8: return (int16_t)rd16(r, off);
+    case 9: return (int32_t)rd32(r, off);
+    case 10: {
+      double num = (int32_t)rd32(r, off), den = (int32_t)rd32(r, off + 4);
+      return den != 0 ? num / den : 0;
+    }
+    case 11: {
+      uint32_t v = rd32(r, off);
+      float f;
+      std::memcpy(&f, &v, 4);
+      return f;
+    }
+    default: return 0;
+  }
+}
+
+void read_vec(const Raw& r, const Entry& e, double* out, uint32_t n) {
+  for (uint32_t i = 0; i < n && i < e.count; ++i) out[i] = read_val(r, e, i);
+}
+
+// Collect raw-frame candidate IFDs: IFD0 chain + SubIFDs (DNG main image
+// usually lives in a SubIFD with NewSubfileType==0).
+void gather_ifds(const Raw& r, size_t off0, std::vector<Ifd>* out, int depth = 0) {
+  if (depth > 6) return;
+  size_t off = off0;
+  int guard = 0;
+  while (off && guard++ < 32) {
+    Ifd ifd;
+    size_t next = 0;
+    if (!parse_ifd(r, off, &ifd, &next)) return;
+    if (const Entry* sub = find(ifd, 0x014A)) {  // SubIFDs
+      for (uint32_t i = 0; i < sub->count; ++i) {
+        size_t soff = (size_t)read_val(r, *sub, i);
+        if (soff) gather_ifds(r, soff, out, depth + 1);
+      }
+    }
+    out->push_back(std::move(ifd));
+    off = next;
+  }
+}
+
+void parse_exif(Raw& r, const Ifd& ifd) {
+  if (const Entry* e = find(ifd, 0x8827)) r.iso = read_val(r, *e, 0);
+  if (const Entry* e = find(ifd, 0x829A)) r.exposure = read_val(r, *e, 0);
+}
+
+int parse(Raw& r) {
+  if (r.n < 16) return RIO_E_FORMAT;
+  if (r.d[0] == 'I' && r.d[1] == 'I') r.le = true;
+  else if (r.d[0] == 'M' && r.d[1] == 'M') r.le = false;
+  else return RIO_E_FORMAT;
+  if (rd16(r, 2) != 42) return RIO_E_FORMAT;
+
+  std::vector<Ifd> ifds;
+  gather_ifds(r, rd32(r, 4), &ifds);
+  if (ifds.empty()) return RIO_E_FORMAT;
+
+  // EXIF from IFD0's ExifIFD pointer, or inline
+  for (auto& ifd : ifds) {
+    parse_exif(r, ifd);
+    if (const Entry* e = find(ifd, 0x8769)) {
+      Ifd exif;
+      size_t next;
+      if (parse_ifd(r, (size_t)read_val(r, *e, 0), &exif, &next))
+        parse_exif(r, exif);
+    }
+  }
+
+  // choose the raw frame: the largest CFA/uncompressed strip image
+  uint64_t best_pixels = 0;
+  for (auto& ifd : ifds) {
+    const Entry* we = find(ifd, 0x0100);
+    const Entry* he = find(ifd, 0x0101);
+    const Entry* so = find(ifd, 0x0111);
+    if (!we || !he || !so) continue;
+    const Entry* pi = find(ifd, 0x0106);  // PhotometricInterpretation
+    double photometric = pi ? read_val(r, *pi, 0) : -1;
+    uint64_t w = (uint64_t)read_val(r, *we, 0);
+    uint64_t h = (uint64_t)read_val(r, *he, 0);
+    bool is_cfa = photometric == 32803;  // CFA
+    // prefer CFA frames; otherwise biggest strip image
+    uint64_t score = w * h * (is_cfa ? 16 : 1);
+    if (score <= best_pixels) continue;
+    best_pixels = score;
+
+    r.width = (uint32_t)w;
+    r.height = (uint32_t)h;
+    const Entry* ce = find(ifd, 0x0103);
+    r.compression = ce ? (uint32_t)read_val(r, *ce, 0) : 1;
+    const Entry* be = find(ifd, 0x0102);
+    r.bits = be ? (uint32_t)read_val(r, *be, 0) : 16;
+    const Entry* sc = find(ifd, 0x0117);
+    r.strip_offs.clear();
+    r.strip_cnts.clear();
+    for (uint32_t i = 0; i < so->count; ++i)
+      r.strip_offs.push_back((uint64_t)read_val(r, *so, i));
+    if (sc)
+      for (uint32_t i = 0; i < sc->count; ++i)
+        r.strip_cnts.push_back((uint64_t)read_val(r, *sc, i));
+    const Entry* rps = find(ifd, 0x0116);
+    r.rows_per_strip = rps ? (uint32_t)read_val(r, *rps, 0) : r.height;
+
+    if (const Entry* e = find(ifd, 0xC61A)) {  // DNG BlackLevel
+      double tmp[4] = {0, 0, 0, 0};
+      read_vec(r, *e, tmp, 4);
+      for (int i = 0; i < 4; ++i) r.black[i] = e->count >= 4 ? tmp[i] : tmp[0];
+    }
+    if (const Entry* e = find(ifd, 0xC61D)) r.white = read_val(r, *e, 0);
+    if (const Entry* e = find(ifd, 0x828E)) {  // CFAPattern
+      double tmp[4] = {0, 1, 1, 2};
+      read_vec(r, *e, tmp, 4);
+      for (int i = 0; i < 4; ++i) r.cfa[i] = (uint8_t)tmp[i];
+    }
+  }
+  if (!r.width) return RIO_E_NOT_FOUND;
+
+  // DNG color tags live in IFD0
+  for (auto& ifd : ifds) {
+    if (const Entry* e = find(ifd, 0xC628)) {  // AsShotNeutral (RGB)
+      double neu[3] = {1, 1, 1};
+      read_vec(r, *e, neu, 3);
+      if (neu[0] > 0 && neu[1] > 0 && neu[2] > 0) {
+        r.wb[0] = neu[1] / neu[0];
+        r.wb[1] = 1.0;
+        r.wb[2] = neu[1] / neu[2];
+        r.wb[3] = 1.0;
+      }
+    }
+    if (const Entry* e = find(ifd, 0xC621)) {  // ColorMatrix1 (XYZ->cam)
+      read_vec(r, *e, r.ccm, 9);
+      r.has_ccm = true;
+    }
+    if (const Entry* e = find(ifd, 0xC622)) {  // ColorMatrix2 preferred
+      read_vec(r, *e, r.ccm, 9);
+      r.has_ccm = true;
+    }
+  }
+  return RIO_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rio_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  if (base == MAP_FAILED) {
+    ::close(fd);
+    return nullptr;
+  }
+  auto* r = new Raw();
+  r->fd = fd;
+  r->d = static_cast<const uint8_t*>(base);
+  r->n = st.st_size;
+  if (parse(*r) != RIO_OK) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+double rio_iso(void* h) { return static_cast<Raw*>(h)->iso; }
+double rio_exposure(void* h) { return static_cast<Raw*>(h)->exposure; }
+uint32_t rio_width(void* h) { return static_cast<Raw*>(h)->width; }
+uint32_t rio_height(void* h) { return static_cast<Raw*>(h)->height; }
+uint32_t rio_compression(void* h) { return static_cast<Raw*>(h)->compression; }
+uint32_t rio_bits(void* h) { return static_cast<Raw*>(h)->bits; }
+double rio_white_level(void* h) { return static_cast<Raw*>(h)->white; }
+void rio_black_level(void* h, double* out) {
+  std::memcpy(out, static_cast<Raw*>(h)->black, sizeof(double) * 4);
+}
+void rio_cfa_pattern(void* h, uint8_t* out) {
+  std::memcpy(out, static_cast<Raw*>(h)->cfa, 4);
+}
+void rio_wb(void* h, double* out) {
+  std::memcpy(out, static_cast<Raw*>(h)->wb, sizeof(double) * 4);
+}
+int rio_ccm(void* h, double* out) {
+  auto* r = static_cast<Raw*>(h);
+  std::memcpy(out, r->ccm, sizeof(double) * 9);
+  return r->has_ccm ? 0 : RIO_E_NOT_FOUND;
+}
+
+// Decode the mosaic into dst (height*width uint16, row major).
+int rio_read_raw(void* h, uint16_t* dst) {
+  auto* r = static_cast<Raw*>(h);
+  if (r->compression != 1) return RIO_E_UNSUPPORTED_COMPRESSION;
+  if (r->bits != 16 && r->bits != 8 && r->bits != 12 && r->bits != 14)
+    return RIO_E_FORMAT;
+  uint64_t total = (uint64_t)r->width * r->height;
+  uint64_t out_i = 0;
+  for (size_t s = 0; s < r->strip_offs.size() && out_i < total; ++s) {
+    uint64_t off = r->strip_offs[s];
+    uint64_t nbytes = s < r->strip_cnts.size()
+                          ? r->strip_cnts[s]
+                          : ((uint64_t)r->rows_per_strip * r->width * r->bits + 7) / 8;
+    if (off + nbytes > r->n) return RIO_E_FORMAT;
+    const uint8_t* p = r->d + off;
+    if (r->bits == 16) {
+      uint64_t cnt = nbytes / 2;
+      for (uint64_t i = 0; i < cnt && out_i < total; ++i, ++out_i)
+        dst[out_i] = r->le ? (p[2 * i] | p[2 * i + 1] << 8)
+                           : (p[2 * i] << 8 | p[2 * i + 1]);
+    } else if (r->bits == 8) {
+      for (uint64_t i = 0; i < nbytes && out_i < total; ++i, ++out_i)
+        dst[out_i] = p[i];
+    } else {
+      // 12/14-bit big-endian-packed bitstream (DNG packed layout)
+      uint32_t acc = 0;
+      int nbits = 0;
+      for (uint64_t i = 0; i < nbytes && out_i < total; ++i) {
+        acc = (acc << 8) | p[i];
+        nbits += 8;
+        while (nbits >= (int)r->bits && out_i < total) {
+          nbits -= r->bits;
+          dst[out_i++] = (acc >> nbits) & ((1u << r->bits) - 1);
+        }
+      }
+    }
+  }
+  return out_i == total ? RIO_OK : RIO_E_FORMAT;
+}
+
+void rio_close(void* h) {
+  auto* r = static_cast<Raw*>(h);
+  if (r->d) munmap(const_cast<uint8_t*>(r->d), r->n);
+  if (r->fd >= 0) ::close(r->fd);
+  delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,62 @@
+"""PSNR/SSIM parity vs an independent NumPy/SciPy implementation of the
+skimage algorithms the reference evaluates with (util/index.py:76-81)."""
+
+import numpy as onp
+import pytest
+from scipy.ndimage import uniform_filter
+
+from eld_tpu.ops.metrics import psnr, ssim, quality_assess
+
+
+def ref_psnr(x, y, data_range=255.0):
+    mse = onp.mean((x.astype(onp.float64) - y.astype(onp.float64)) ** 2)
+    return 10 * onp.log10(data_range**2 / mse)
+
+
+def ref_ssim_single(x, y, data_range=255.0, win=7, k1=0.01, k2=0.03):
+    """skimage.structural_similarity defaults, one channel."""
+    x = x.astype(onp.float64)
+    y = y.astype(onp.float64)
+    NP = win**2
+    cov_norm = NP / (NP - 1)
+    f = lambda a: uniform_filter(a, size=win)
+    ux, uy = f(x), f(y)
+    uxx, uyy, uxy = f(x * x), f(y * y), f(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    pad = (win - 1) // 2
+    return s[pad:-pad, pad:-pad].mean()
+
+
+def ref_ssim(x, y, data_range=255.0):
+    return onp.mean([ref_ssim_single(x[..., c], y[..., c], data_range)
+                     for c in range(x.shape[-1])])
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 4), (48, 80, 3)])
+def test_psnr_matches(rng, shape):
+    x = rng.random(shape) * 255
+    y = onp.clip(x + rng.normal(0, 12, shape), 0, 255)
+    got = float(psnr(x.astype(onp.float32), y.astype(onp.float32)))
+    want = ref_psnr(x.astype(onp.float32), y.astype(onp.float32))
+    assert abs(got - want) < 1e-3
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 4), (48, 80, 3)])
+def test_ssim_matches(rng, shape):
+    x = rng.random(shape) * 255
+    y = onp.clip(x + rng.normal(0, 25, shape), 0, 255)
+    got = float(ssim(x.astype(onp.float32), y.astype(onp.float32)))
+    want = ref_ssim(x.astype(onp.float32), y.astype(onp.float32))
+    assert abs(got - want) < 1e-4
+
+
+def test_identical_images():
+    x = onp.random.default_rng(0).random((32, 32, 4)).astype(onp.float32) * 255
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    res = quality_assess(x, x + 1.0)
+    assert res["PSNR"] == pytest.approx(48.13, abs=0.01)  # 20log10(255/1)

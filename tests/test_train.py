@@ -1,0 +1,90 @@
+"""Training smoke + multi-device parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+import pytest
+
+from eld_tpu.models import build_arch
+from eld_tpu.noise import load_camera_params
+from eld_tpu.parallel import make_mesh, MeshSpec
+from eld_tpu.parallel.mesh import shard_batch
+from eld_tpu.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_forward,
+    set_learning_rate,
+)
+from eld_tpu.train.state import get_learning_rate
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    return build_arch("unet", 4, 4, base_width=4)
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return load_camera_params(include=4)
+
+
+def test_synthetic_training_reduces_loss(small_model, bank, rng):
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    step = make_train_step(small_model, noise_model="pg", bank=bank)
+    clean = jnp.asarray(rng.random((4, 32, 32, 4), dtype=onp.float32))
+    losses = []
+    for i in range(30):
+        state, m = step(state, {"clean": clean}, jax.random.PRNGKey(i))
+        losses.append(float(m["Pixel"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 30
+
+
+def test_paired_training_mode(small_model, rng):
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    step = make_train_step(small_model, loss="l2")
+    batch = {
+        "input": jnp.asarray(rng.random((2, 32, 32, 4), dtype=onp.float32)),
+        "target": jnp.asarray(rng.random((2, 32, 32, 4), dtype=onp.float32)),
+    }
+    l0 = None
+    for i in range(10):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        l0 = l0 or float(m["Pixel"])
+    assert float(m["Pixel"]) < l0
+
+
+def test_lr_schedule_injection(small_model):
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4), lr=1e-4)
+    assert get_learning_rate(state) == pytest.approx(1e-4)
+    state = set_learning_rate(state, 5e-5)
+    assert get_learning_rate(state) == pytest.approx(5e-5)
+
+
+def test_mesh_dp_matches_single_device(small_model, bank, rng):
+    """8-way data parallel step == single-device step on the same batch."""
+    clean = rng.random((8, 32, 32, 4), dtype=onp.float32)
+    key = jax.random.PRNGKey(42)
+
+    state1 = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    step1 = make_train_step(small_model, noise_model="pg", bank=bank, donate=False)
+    s1, m1 = step1(state1, {"clean": jnp.asarray(clean)}, key)
+
+    mesh = make_mesh(MeshSpec(data=8))
+    state8 = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    step8 = make_train_step(small_model, noise_model="pg", bank=bank, mesh=mesh, donate=False)
+    batch = shard_batch(mesh, {"clean": clean})
+    s8, m8 = step8(state8, batch, key)
+
+    assert float(m1["Pixel"]) == pytest.approx(float(m8["Pixel"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-5)
+
+
+def test_eval_forward_with_chop(small_model, rng):
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    fwd = make_eval_forward(small_model, chop=True)
+    x = jnp.asarray(rng.random((1, 96, 96, 4), dtype=onp.float32))
+    out = fwd(state.params, x)
+    assert out.shape == (1, 96, 96, 4)

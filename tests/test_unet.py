@@ -1,0 +1,83 @@
+"""U-Net topology tests (reference: models/arch/Unet.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+import pytest
+
+from eld_tpu.models import build_arch, arch_names
+from eld_tpu.models.unet import UNetSeeInDark, lrelu
+from eld_tpu.train.state import param_count
+
+
+def test_registry():
+    assert "unet" in arch_names()
+
+
+def test_param_count_matches_reference():
+    """Reference UNetSeeInDark(4,4) has 7,760,484 parameters."""
+    model = build_arch("unet", 4, 4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 4)))["params"]
+    assert param_count(params) == 7_760_484
+
+
+def test_output_shape():
+    model = UNetSeeInDark(in_channels=4, out_channels=4)
+    x = jnp.zeros((2, 64, 48, 4))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (2, 64, 48, 4)
+
+
+def test_channels_variants():
+    for cin, cout in [(4, 4), (9, 9), (3, 3), (4, 3)]:
+        model = UNetSeeInDark(in_channels=cin, out_channels=cout)
+        x = jnp.zeros((1, 32, 32, cin))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        assert model.apply({"params": params}, x).shape == (1, 32, 32, cout)
+
+
+def test_lrelu_matches_reference():
+    """lrelu(x) = max(0.2x, x) (Unet.py:102-104)."""
+    x = jnp.array([-2.0, -0.5, 0.0, 0.5, 2.0])
+    onp.testing.assert_allclose(lrelu(x), [-0.4, -0.1, 0.0, 0.5, 2.0], rtol=1e-6)
+
+
+def test_bf16_compute():
+    model = UNetSeeInDark(dtype=jnp.bfloat16)
+    x = jnp.ones((1, 32, 32, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    # params stay f32, output cast back to input dtype
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    y = model.apply({"params": params}, x)
+    assert y.dtype == jnp.float32
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_remat_matches():
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 4))
+    m1 = UNetSeeInDark(remat=False)
+    m2 = UNetSeeInDark(remat=True)
+    params = m1.init(jax.random.PRNGKey(0), x)["params"]
+    y1 = m1.apply({"params": params}, x)
+    y2 = m2.apply({"params": params}, x)
+    onp.testing.assert_allclose(onp.asarray(y1), onp.asarray(y2), atol=1e-6)
+
+
+def test_gradients_flow():
+    model = UNetSeeInDark()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 4))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        return jnp.mean(jnp.abs(model.apply({"params": p}, x) - x))
+
+    grads = jax.grad(loss)(params)
+    norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(onp.isfinite(norms))
+    assert max(norms) > 0
+
+
+def test_alignment():
+    assert UNetSeeInDark.alignment() == 16
