@@ -1,0 +1,104 @@
+"""Prefetching batch loader.
+
+The reference parallelizes with forked DataLoader workers + RNG reseeding
+footwork (``train_syn.py:78-80``, ``worker_init_fn``).  Here the heavy
+per-sample work (raw decode, patch store reads) is NumPy/native code that
+releases the GIL, so a thread pool + bounded prefetch queue gives the
+same overlap without fork hazards; device randomness is key-threaded
+jax.random and never lives in the loader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional
+
+import numpy as onp
+
+
+def default_collate(items):
+    """Stack array fields; keep the first value for non-array fields."""
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], onp.ndarray) and vals[0].dtype != object:
+            out[k] = onp.stack(vals)
+        elif isinstance(vals[0], (float, int, onp.floating, onp.integer)):
+            out[k] = onp.asarray(vals)
+        else:
+            out[k] = vals if len(vals) > 1 else vals[0]
+    return out
+
+
+class Loader:
+    """Iterates dict batches over a Dataset.
+
+    shuffle uses a per-epoch seeded permutation (deterministic given
+    ``seed`` and epoch count — the reproducibility story the reference
+    gets from global seeding)."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 num_workers: int = 4, seed: int = 2018, drop_last: bool = False,
+                 collate: Callable = default_collate, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.drop_last = drop_last
+        self.collate = collate
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = onp.random.default_rng(self.seed + self._epoch)
+            return rng.permutation(n)
+        return onp.arange(n)
+
+    def __iter__(self):
+        idxs = self._indices()
+        self._epoch += 1
+        batches = [
+            idxs[i : i + self.batch_size]
+            for i in range(0, len(idxs), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self.collate([self.dataset[int(j)] for j in b])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(lambda j: self.dataset[int(j)], b))
+                    q.put(self.collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

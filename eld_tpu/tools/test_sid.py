@@ -1,0 +1,50 @@
+"""SID Sony evaluation CLI (reference ``test_SID.py`` parity).
+
+Evaluates the 15-indoor-scene subset bucketed by exposure ratio
+{100, 250, 300} on the center 512x512 crop with illuminance correction —
+the crop excludes the fixed-pattern noise region the reference documents
+(``test_SID.py:45-48``).
+
+Usage:
+  python -m eld_tpu.tools.test_sid --name sid_eld --datadir ./data/SID/Sony \
+      --model_path checkpoints/sid_eld/model_200_*.ckpt
+"""
+
+from __future__ import annotations
+
+from eld_tpu import config as config_mod
+from eld_tpu.data.datasets import SIDDataset
+from eld_tpu.data.loader import Loader
+from eld_tpu.data.pairs import eval_pairs_by_ratio
+from eld_tpu.train.engine import Engine
+
+
+def main(argv=None):
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--datadir", type=str, default="./data/SID/Sony")
+    pre.add_argument("--savedir", type=str, default=None)
+    ns, rest = pre.parse_known_args(argv)
+    cfg = config_mod.parse(rest, train=False)
+    if not (cfg.resume or cfg.model_path):
+        cfg.resume = True
+
+    engine = Engine(cfg)
+    crf = None
+    results = {}
+    for ratio, pairs in eval_pairs_by_ratio().items():
+        print(f"Eval ratio {ratio}")
+        ds = SIDDataset(ns.datadir, pairs, memorize=False, augment=False,
+                        stage_in=cfg.stage_in, stage_out=cfg.stage_out,
+                        gt_wb=cfg.gt_wb, crf=crf)
+        loader = Loader(ds, batch_size=1, num_workers=0)
+        res = engine.eval(loader, dataset_name=f"sid_eval_{ratio}",
+                          savedir=ns.savedir, correct=True, crop=True)
+        results[ratio] = res.as_dict()
+        print(f"  ratio {ratio}: {res}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Paired real-data training CLI (reference ``train_real.py`` parity):
+input and target both come from pre-packed patch stores (input already
+x ratio at pack time), no noise model anywhere, same LR schedule.
+
+Usage:
+  python -m eld_tpu.tools.train_real --name sid_paired --traindir ./data/Train -b 8
+"""
+
+from __future__ import annotations
+
+import sys
+from os.path import join
+
+from eld_tpu import config as config_mod
+from eld_tpu.data.datasets import ELDTrainDataset, SIDDataset
+from eld_tpu.data.loader import Loader
+from eld_tpu.data.pairs import eval_pairs_by_ratio
+from eld_tpu.data.patchstore import PatchStore
+from eld_tpu.train.engine import Engine
+
+
+def _store_name(stage: str, crf: bool, side: str) -> str:
+    if stage == "srgb":
+        return f"SID_Sony_{side}_SRGB_CRF.eps" if crf else f"SID_Sony_{side}_SRGB.eps"
+    return f"SID_Sony_{side}_Raw.eps"
+
+
+def main(argv=None):
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--traindir", type=str, default="./data/Train")
+    pre.add_argument("--evaldir", type=str, default="./data/SID/Sony")
+    pre.add_argument("--epochs", type=int, default=200)
+    pre.add_argument("--eval_every", type=int, default=20)
+    ns, rest = pre.parse_known_args(argv)
+    cfg = config_mod.parse(rest, train=True)
+    cfg.noise = ""  # paired mode
+
+    input_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_in, cfg.crf, "input")))
+    target_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_out, cfg.crf, "target")))
+    train_ds = ELDTrainDataset(target_store, [input_store])
+    train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
+                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
+
+    eval_loaders = {}
+    try:
+        pairs = eval_pairs_by_ratio()
+        for ratio in (100, 300):
+            ds = SIDDataset(ns.evaldir, pairs[ratio], augment=False, memorize=False,
+                            stage_in=cfg.stage_in, stage_out=cfg.stage_out, gt_wb=cfg.gt_wb)
+            eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
+    except Exception as e:
+        print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
+
+    engine = Engine(cfg)
+    engine.set_learning_rate(1e-4)
+    while engine.epoch < ns.epochs:
+        if engine.epoch == 100:
+            engine.set_learning_rate(5e-5)
+        if engine.epoch == 180:
+            engine.set_learning_rate(1e-5)
+        engine.train(train_loader)
+        train_ds.reset()
+        if engine.epoch % ns.eval_every == 0 and eval_loaders:
+            try:
+                engine.eval(eval_loaders[100], dataset_name="sid_eval_100", correct=True)
+                engine.eval(eval_loaders[300], dataset_name="sid_eval_300", correct=True)
+            except Exception as e:
+                print(f"[w] eval failed: {e}", file=sys.stderr)
+    return engine
+
+
+if __name__ == "__main__":
+    main()

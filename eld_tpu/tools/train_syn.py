@@ -1,0 +1,98 @@
+"""Synthetic-noise training CLI — the flagship entry point.
+
+Parity surface with the reference's ``train_syn.py`` (flags, LR schedule
+1e-4 -> 5e-5@100 -> 1e-5@180 over 200 epochs, eval on the 15-indoor-scene
+SID subsets every 20 epochs), with the TPU-first difference that noise is
+synthesized ON DEVICE inside the jitted train step by default — the
+loader only streams clean patches.  ``--offline_noise`` reproduces the
+reference's pre-baked-noise mode (0.1-0.3 dB worse per
+``scripts/train.sh``) from a ``SID_Sony_syn_Raw_<cam>.eps`` store.
+
+Usage:
+  python -m eld_tpu.tools.train_syn --name sid_eld --noise eld --include 4 \
+      --traindir ./data/Train --evaldir ./data/SID/Sony -b 8
+"""
+
+from __future__ import annotations
+
+import sys
+from os.path import join
+
+import numpy as onp
+
+from eld_tpu import config as config_mod
+from eld_tpu.data.datasets import CleanPatchDataset, ELDTrainDataset, SIDDataset
+from eld_tpu.data.loader import Loader
+from eld_tpu.data.pairs import eval_pairs_by_ratio
+from eld_tpu.data.patchstore import PatchStore
+from eld_tpu.noise.params import CAMERA_NAMES
+from eld_tpu.train.engine import Engine
+
+
+def main(argv=None, extra=None):
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--traindir", type=str, default="./data/Train")
+    pre.add_argument("--evaldir", type=str, default="./data/SID/Sony")
+    pre.add_argument("--epochs", type=int, default=200)
+    pre.add_argument("--offline_noise", action="store_true")
+    pre.add_argument("--eval_every", type=int, default=20)
+    ns, rest = pre.parse_known_args(argv)
+    cfg = config_mod.parse(rest, train=True)
+
+    if cfg.stage_in == "srgb" or cfg.stage_out == "srgb":
+        store = PatchStore(join(ns.traindir, "SID_Sony_SRGB_CRF.eps"
+                                if cfg.crf else "SID_Sony_SRGB.eps"),
+                           size=cfg.max_dataset_size)
+        train_ds = CleanPatchDataset(store)
+    elif ns.offline_noise:
+        camera = CAMERA_NAMES[cfg.include or 4]
+        target = PatchStore(join(ns.traindir, "SID_Sony_Raw.eps"),
+                            size=cfg.max_dataset_size)
+        noisy = PatchStore(join(ns.traindir, f"SID_Sony_syn_Raw_{camera}.eps"),
+                           size=cfg.max_dataset_size)
+        train_ds = ELDTrainDataset(target, [noisy])
+        cfg.noise = ""  # paired mode: noise already baked in
+    else:
+        store = PatchStore(join(ns.traindir, "SID_Sony_Raw.eps"),
+                           size=cfg.max_dataset_size)
+        train_ds = CleanPatchDataset(store)
+
+    train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
+                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
+
+    crf = None
+    eval_loaders = {}
+    try:
+        pairs = eval_pairs_by_ratio()
+        for ratio in (100, 300):
+            ds = SIDDataset(ns.evaldir, pairs[ratio], augment=False, memorize=False,
+                            stage_in=cfg.stage_in, stage_out=cfg.stage_out,
+                            gt_wb=cfg.gt_wb, crf=crf)
+            eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
+    except Exception as e:  # eval data optional during training
+        print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
+
+    engine = Engine(cfg)
+    print(f"[i] using noise model {cfg.noise!r} (on-device)" if cfg.noise
+          else "[i] paired mode (pre-baked noise)")
+
+    engine.set_learning_rate(1e-4)
+    while engine.epoch < ns.epochs:
+        if engine.epoch == 100:
+            engine.set_learning_rate(5e-5)
+        if engine.epoch == 180:
+            engine.set_learning_rate(1e-5)
+        engine.train(train_loader)
+        if engine.epoch % ns.eval_every == 0 and eval_loaders:
+            try:
+                engine.eval(eval_loaders[100], dataset_name="sid_eval_100", correct=True)
+                engine.eval(eval_loaders[300], dataset_name="sid_eval_300", correct=True)
+            except Exception as e:
+                print(f"[w] eval failed: {e}", file=sys.stderr)
+    return engine
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Checkpointing: save/load {params, opt_state, epoch, iterations}.
+
+Content parity with the reference (``models/ELD_model.py:516-523``) and
+the same on-disk naming scheme so tooling translates directly
+(``models/base_model.py:55-66``):
+
+    model_<epoch:03d>_<iters:08d>.ckpt    numbered snapshots
+    model_latest.ckpt                      every-epoch rolling save
+    model_best_<key>_<name>.ckpt           best-on-eval save
+
+Uses orbax-checkpoint (async-capable, multi-host safe) with the discovery
+helper mirroring ``util/util.py:37-51`` (``get_model_list``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as onp
+import orbax.checkpoint as ocp
+
+_NUMBERED = re.compile(r"model_(\d{3})_(\d{8})\.ckpt$")
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(save_dir: str, state, label: Optional[str] = None):
+    """Save a TrainState. label=None -> numbered name from state counters."""
+    os.makedirs(save_dir, exist_ok=True)
+    epoch = int(state.epoch)
+    iters = int(state.step)
+    name = f"model_{label}.ckpt" if label else f"model_{epoch:03d}_{iters:08d}.ckpt"
+    path = os.path.abspath(os.path.join(save_dir, name))
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": epoch,
+        "iterations": iters,
+    }
+    _ckptr().save(path, payload, force=True)
+    return path
+
+
+def find_checkpoint(save_dir: str, epoch: Optional[int] = None) -> Optional[str]:
+    """Discovery: numbered checkpoint for ``epoch``, else the newest
+    numbered one, else model_latest (mirrors get_model_list semantics)."""
+    if not os.path.isdir(save_dir):
+        return None
+    numbered = []
+    for fn in os.listdir(save_dir):
+        m = _NUMBERED.search(fn)
+        if m:
+            numbered.append((int(m.group(1)), int(m.group(2)), fn))
+    if epoch is not None:
+        hits = [t for t in numbered if t[0] == epoch]
+        if hits:
+            return os.path.join(save_dir, sorted(hits)[-1][2])
+        return None
+    if numbered:
+        return os.path.join(save_dir, sorted(numbered)[-1][2])
+    latest = os.path.join(save_dir, "model_latest.ckpt")
+    return latest if os.path.exists(latest) else None
+
+
+def restore_checkpoint(path: str, state):
+    """Restore into an existing TrainState template (shapes/dtypes from it)."""
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": 0,
+        "iterations": 0,
+    }
+    payload = _ckptr().restore(os.path.abspath(path), item=template)
+    import jax.numpy as jnp
+
+    return state.replace(
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        epoch=jnp.asarray(payload["epoch"], jnp.int32),
+        step=jnp.asarray(payload["iterations"], jnp.int32),
+    )
+
+
+def restore_params(path: str, params_template):
+    """Params-only restore (eval flows that never build an optimizer)."""
+    payload = _ckptr().restore(
+        os.path.abspath(path),
+        item={"params": jax.device_get(params_template), "epoch": 0, "iterations": 0},
+        transforms={},  # ignore extra keys (opt_state) in the stored tree
+    )
+    return payload["params"], int(payload["epoch"]), int(payload["iterations"])

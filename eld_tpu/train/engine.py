@@ -1,0 +1,269 @@
+"""Engine — epoch-level orchestration: train, eval, test, checkpoints.
+
+Public surface parity with the reference's ``engine.py`` (``Engine(opt)``,
+``.train(loader)``, ``.eval(loader, name, ...)``, ``.test(loader)``,
+``.set_learning_rate(lr)``, epoch/iteration properties) re-built around
+functional JAX state: the Engine owns the Flax module, the TrainState
+pytree, and the jitted step functions; "the model" is data, not an object.
+
+Eval protocol parity (``models/ELD_model.py:203-307``): optional 512-px
+center crop, forward (optionally 4-tile chopped), illuminance correction,
+optional raw->sRGB conversion before metrics, x255 clip, PSNR/SSIM.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+
+from eld_tpu.config import Config
+from eld_tpu.core import isp, emor
+from eld_tpu.core.packing import crop_center
+from eld_tpu.models import build_arch
+from eld_tpu.noise import load_camera_params
+from eld_tpu.ops.correct import illuminance_correct
+from eld_tpu.ops.metrics import quality_assess
+from eld_tpu.parallel import make_mesh, MeshSpec
+from eld_tpu.parallel.mesh import shard_batch
+from eld_tpu.train import checkpoints as ckpt
+from eld_tpu.train.state import (
+    create_train_state,
+    get_learning_rate,
+    param_count,
+    set_learning_rate,
+)
+from eld_tpu.train.steps import make_eval_forward, make_train_step
+from eld_tpu.utils.logging import (
+    AverageMeters,
+    ThroughputMeter,
+    get_summary_writer,
+    progress,
+    write_loss,
+)
+
+
+class Engine:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.best_val_loss = 1e6
+        self.writer = None
+        self.throughput = ThroughputMeter()
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+        self.mesh = mesh or make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_spatial))
+        data_size = self.mesh.shape["data"]
+        if cfg.is_train and cfg.batch_size % data_size != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by the mesh "
+                f"data axis ({data_size} devices); set --batchSize or --mesh_data")
+
+        import jax.numpy as _jnp
+
+        self.model = build_arch(
+            cfg.netG,
+            cfg.in_channels,
+            cfg.out_channels,
+            dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
+            remat=cfg.remat,
+        )
+        self.state = create_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.seed),
+            (1, 64, 64, cfg.in_channels),
+            lr=cfg.lr,
+            beta1=cfg.beta1,
+            weight_decay=cfg.wd,
+        )
+
+        self.crf = None
+        if cfg.crf:
+            E, fs = emor.load_crf()
+            self.crf = (jnp.asarray(E), jnp.asarray(fs))
+
+        self.bank = None
+        self._train_step = None
+        if cfg.is_train:
+            synthetic = cfg.noise not in (None, "", "none")
+            if synthetic:
+                self.bank = load_camera_params(include=cfg.include, exclude=cfg.exclude)
+            self._train_step = make_train_step(
+                self.model,
+                loss=cfg.loss,
+                noise_model=cfg.noise if synthetic else None,
+                bank=self.bank,
+                k_mode=cfg.k_mode,
+                mesh=self.mesh,
+            )
+        self._fwd = make_eval_forward(self.model, chop=cfg.chop)
+
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        if not cfg.no_log:
+            self.writer = get_summary_writer(os.path.join(cfg.save_dir, "logs"))
+
+        if cfg.resume or cfg.model_path:
+            self.load(cfg.model_path, cfg.resume_epoch)
+
+        if not cfg.no_verbose:
+            print(f"[i] arch {cfg.netG}: {param_count(self.state.params):,} params, "
+                  f"mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+
+    # ---- counters (parity: engine.py:114-128) ----
+    @property
+    def epoch(self) -> int:
+        return int(self.state.epoch)
+
+    @property
+    def iterations(self) -> int:
+        return int(self.state.step)
+
+    def set_learning_rate(self, lr: float):
+        print(f"[i] set learning rate to {lr}")
+        self.state = set_learning_rate(self.state, lr)
+
+    # ---- training ----
+    def train(self, loader):
+        """One epoch over ``loader`` yielding dict batches of host arrays."""
+        cfg = self.cfg
+        print(f"\nEpoch: {self.epoch} (lr {get_learning_rate(self.state):.2e})")
+        meters = AverageMeters()
+        t0 = time.time()
+        n = len(loader)
+        for i, batch in enumerate(loader):
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, onp.ndarray) and v.dtype != object}
+            sharded = shard_batch(self.mesh, batch)
+            self._key, sub = jax.random.split(self._key)
+            self.state, metrics = self._train_step(self.state, sharded, sub)
+            bs = next(iter(batch.values())).shape[0]
+            self.throughput.tick(bs)
+            meters.update({k: float(v) for k, v in metrics.items()})
+            progress(i, n, f"{meters} | {self.throughput.items_per_sec:.1f} patches/s",
+                     every=10)
+            if not cfg.no_log:
+                write_loss(self.writer, "train", meters, self.iterations)
+
+        self.state = self.state.replace(epoch=self.state.epoch + 1)
+        if not cfg.no_log:
+            if self.epoch % cfg.save_epoch_freq == 0:
+                print(f"saving the model at epoch {self.epoch}, iters {self.iterations}")
+                self.save()
+            self.save(label="latest")
+            print(f"Time Taken: {int(time.time() - t0)} sec")
+        return meters
+
+    # ---- evaluation ----
+    def _to_srgb(self, x4, wb, ccm):
+        """(N,H,W,4) raw -> (N,H,W,3) sRGB with per-item wb/ccm."""
+        wb = jnp.asarray(wb, jnp.float32).reshape(1, -1)
+        wb = wb / wb[:, 1:2]
+        ccm = jnp.asarray(ccm, jnp.float32).reshape(1, 3, 3)
+        return isp.process(x4, wb, ccm, crf=self.crf)
+
+    def eval_one(self, item: dict, correct: bool = True, crop: bool = True,
+                 savedir: Optional[str] = None, suffix: Optional[str] = None):
+        """Evaluate one {input, target, ...} item; returns {PSNR, SSIM}."""
+        cfg = self.cfg
+        inp = jnp.asarray(item["input"])
+        tgt = jnp.asarray(item["target"])
+        if inp.ndim == 3:
+            inp, tgt = inp[None], tgt[None]
+        if crop:
+            inp = crop_center(inp, 512, 512)
+            tgt = crop_center(tgt, 512, 512)
+
+        out = self._fwd(self.state.params, inp)
+        if correct:
+            out = illuminance_correct(out[0], tgt[0])[None]
+
+        if cfg.stage_out == "raw" and cfg.stage_eval == "srgb":
+            wb, ccm = item["wb"], item["ccm"]
+            out = self._to_srgb(out, wb, ccm)
+            tgt_m = self._to_srgb(tgt, wb, ccm)
+            inp_m = self._to_srgb(inp, wb, ccm)
+        else:
+            tgt_m, inp_m = tgt, inp
+
+        to_im = lambda t: onp.clip(onp.asarray(t[0], onp.float32) * 255.0, 0, 255)
+        out_im, tgt_im, inp_im = to_im(out), to_im(tgt_m), to_im(inp_m)
+        res = quality_assess(out_im, tgt_im, data_range=255)
+
+        if savedir is not None:
+            self._dump_pngs(savedir, item, out_im, tgt_im, inp_im, res, suffix)
+        return res
+
+    def _dump_pngs(self, savedir, item, out_im, tgt_im, inp_im, res, suffix):
+        from eld_tpu.utils.images import save_png
+
+        name = os.path.splitext(os.path.basename(str(item.get("fn", "item"))))[0]
+        d = os.path.join(savedir, name)
+        os.makedirs(d, exist_ok=True)
+        tag = f"_{suffix}" if suffix else ""
+        save_png(os.path.join(d, f"{self.cfg.run_name}_{res['PSNR']:.2f}{tag}.png"), out_im)
+        save_png(os.path.join(d, f"m_input{tag}.png"), inp_im)
+        save_png(os.path.join(d, "t_label.png"), tgt_im)
+
+    def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
+             correct: bool = True, crop: bool = True, **kw):
+        meters = AverageMeters()
+        n = len(loader)
+        for i, item in enumerate(loader):
+            res = self.eval_one(item, correct=correct, crop=crop, savedir=savedir, **kw)
+            meters.update(res)
+            progress(i, n, str(meters))
+        if not self.cfg.no_log:
+            write_loss(self.writer, os.path.join("eval", dataset_name), meters, self.epoch)
+        if loss_key is not None and meters[loss_key] < self.best_val_loss:
+            self.best_val_loss = meters[loss_key]
+            self.save(label=f"best_{loss_key}_{dataset_name}")
+        return meters
+
+    def test(self, loader, savedir=None):
+        """Inference-only pass (no targets): denoise + save sRGB previews."""
+        from eld_tpu.utils.images import save_png
+
+        n = len(loader)
+        for i, item in enumerate(loader):
+            inp = jnp.asarray(item["input"])
+            if inp.ndim == 3:
+                inp = inp[None]
+            out = self._fwd(self.state.params, inp)
+            if savedir is not None:
+                name = os.path.splitext(os.path.basename(str(item.get("fn", f"item{i}"))))[0]
+                os.makedirs(os.path.join(savedir, name), exist_ok=True)
+                if "wb" in item and self.cfg.stage_out == "raw":
+                    img = self._to_srgb(out, item["wb"], item["ccm"])
+                else:
+                    img = out
+                save_png(
+                    os.path.join(savedir, name, f"{self.cfg.run_name}.png"),
+                    onp.clip(onp.asarray(img[0]) * 255, 0, 255),
+                )
+            progress(i, n)
+
+    # ---- checkpoints ----
+    def save(self, label: Optional[str] = None):
+        return ckpt.save_checkpoint(self.cfg.save_dir, self.state, label)
+
+    def load(self, model_path: Optional[str] = None, resume_epoch: Optional[int] = None):
+        path = model_path or ckpt.find_checkpoint(self.cfg.save_dir, resume_epoch)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {self.cfg.save_dir} (epoch={resume_epoch})")
+        if path.endswith(".pt"):  # reference torch checkpoints import directly
+            from eld_tpu.compat.torch_import import load_torch_checkpoint
+
+            params, epoch, iters = load_torch_checkpoint(path, self.state.params)
+            self.state = self.state.replace(
+                params=params,
+                epoch=jnp.asarray(epoch, jnp.int32),
+                step=jnp.asarray(iters, jnp.int32),
+            )
+        else:
+            self.state = ckpt.restore_checkpoint(path, self.state)
+        print(f"Resume from epoch {self.epoch}, iteration {self.iterations}")
+        return path

@@ -1,0 +1,200 @@
+"""Datasets, loader, builder — end-to-end host pipeline tests."""
+
+import os
+
+import numpy as onp
+import pytest
+
+from eld_tpu.data.builder import build_patch_db, extract_patches
+from eld_tpu.data.datasets import (
+    CleanPatchDataset,
+    ConcatDataset,
+    ELDEvalDataset,
+    ELDTrainDataset,
+    ISPDataset,
+    SIDDataset,
+    SynDataset,
+)
+from eld_tpu.data.loader import Loader
+from eld_tpu.data.pairs import compute_expo_ratio, eval_pairs_by_ratio, sid_pairs
+from eld_tpu.data.patchstore import PatchStore, PatchStoreWriter
+from eld_tpu.noise.host import HostNoiseModel
+from tests.tiff_fixture import make_dng
+
+
+# ---------- fixtures ----------
+
+@pytest.fixture
+def sid_tree(tmp_path, rng):
+    """A miniature SID directory: short/ and long/ with DNG pairs."""
+    (tmp_path / "short").mkdir()
+    (tmp_path / "long").mkdir()
+    pairs = []
+    for i in range(2):
+        short_fn = f"{i:05d}_00_0.1s.dng"
+        long_fn = f"{i:05d}_00_10s.dng"
+        gt = rng.integers(2048, 16384, (64, 64)).astype(onp.uint16)
+        dark = (512 + (gt.astype(onp.float32) - 512) / 100).astype(onp.uint16)
+        (tmp_path / "long" / long_fn).write_bytes(make_dng(gt, iso=100, exposure=10))
+        (tmp_path / "short" / short_fn).write_bytes(make_dng(dark, iso=100, exposure=0.1))
+        pairs.append((short_fn, long_fn))
+    return str(tmp_path), pairs
+
+
+@pytest.fixture
+def clean_store(tmp_path, rng):
+    path = str(tmp_path / "clean.eps")
+    with PatchStoreWriter(path, (32, 32, 4), dtype=onp.uint16) as w:
+        for _ in range(6):
+            w.append(rng.integers(0, 65536, (32, 32, 4)).astype(onp.uint16),
+                     wb=onp.array([2.0, 1.0, 1.5, 1.0]), ccm=onp.eye(3))
+    return PatchStore(path)
+
+
+# ---------- pair lists ----------
+
+def test_vendored_pair_lists():
+    assert len(sid_pairs("train")) == 280
+    assert len(sid_pairs("val")) == 36
+    assert len(sid_pairs("test")) == 93
+    buckets = eval_pairs_by_ratio()
+    assert sum(len(v) for v in buckets.values()) == 45  # 15 scenes x 3 ratios
+
+
+def test_expo_ratio():
+    assert compute_expo_ratio("a_00_0.1s.ARW", "a_00_10s.ARW") == 100
+    assert compute_expo_ratio("a_00_0.01s.ARW", "a_00_10s.ARW") == 300  # capped
+
+
+# ---------- datasets ----------
+
+def test_sid_dataset(sid_tree):
+    root, pairs = sid_tree
+    ds = SIDDataset(root, pairs, augment=False, memorize=True, patch_size=32)
+    item = ds[0]
+    assert item["input"].shape == (32, 32, 4)
+    assert item["target"].shape == (32, 32, 4)
+    assert 0 <= item["input"].min() and item["input"].max() <= 1
+    # ratio x100 roughly cancels the /100 darkening: input ~ target
+    assert onp.abs(item["input"] - item["target"]).mean() < 0.02
+    # memoization caches decoded images (one target + one input per pair)
+    assert len(ds._cache) == 2
+    ds[1]
+    assert len(ds._cache) == 4
+
+
+def test_sid_dataset_augment_crop(sid_tree, rng):
+    root, pairs = sid_tree
+    ds = SIDDataset(root, pairs, augment=True, patch_size=16,
+                    rng=onp.random.default_rng(0))
+    item = ds[0]
+    assert item["input"].shape == (16, 16, 4)
+
+
+def test_clean_patch_dataset(clean_store):
+    ds = CleanPatchDataset(clean_store, rng=onp.random.default_rng(0))
+    item = ds[0]
+    assert set(item) == {"clean"}
+    assert item["clean"].shape == (32, 32, 4)
+
+
+def test_eld_train_dataset(clean_store):
+    noisy = SynDataset(clean_store, HostNoiseModel("g", rng=onp.random.default_rng(1)))
+    ds = ELDTrainDataset(clean_store, [noisy], rng=onp.random.default_rng(0))
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["input"].shape == item["target"].shape == (32, 32, 4)
+    assert onp.abs(item["input"] - item["target"]).mean() > 1e-5  # noise applied
+
+
+def test_isp_dataset(clean_store):
+    ds = ISPDataset(clean_store)
+    out = ds[0]
+    assert out.shape == (32, 32, 3)
+
+
+def test_eld_eval_dataset(tmp_path, rng):
+    base = tmp_path / "ELD"
+    cam = "SonyA7S2"
+    for scene in (1, 2):
+        d = base / cam / f"scene-{scene}"
+        d.mkdir(parents=True)
+        gt = rng.integers(2048, 16384, (32, 32)).astype(onp.uint16)
+        dark = (512 + (gt.astype(onp.float32) - 512) / 100).astype(onp.uint16)
+        # nearest GT id to input 4 among {1,6,11,16} is 6
+        (d / "IMG_0006.dng").write_bytes(make_dng(gt, iso=800, exposure=1.0))
+        (d / "IMG_0004.dng").write_bytes(make_dng(dark, iso=800, exposure=0.01))
+    ds = ELDEvalDataset(str(base), (cam, ".dng"), scenes=[1, 2], img_ids=[4])
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["ratio"] == pytest.approx(100, rel=1e-3)
+    assert onp.abs(item["input"] - item["target"]).mean() < 0.02
+
+
+def test_concat_dataset(clean_store):
+    a = CleanPatchDataset(clean_store, size=2, augment=False)
+    b = CleanPatchDataset(clean_store, size=3, augment=False)
+    c = ConcatDataset([a, b])
+    assert len(c) == 5
+    onp.testing.assert_array_equal(c[2]["clean"], b[0]["clean"])
+
+
+# ---------- loader ----------
+
+def test_loader_batching(clean_store):
+    ds = CleanPatchDataset(clean_store, augment=False)
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["clean"].shape == (4, 32, 32, 4)
+    assert batches[1]["clean"].shape == (2, 32, 32, 4)
+
+
+def test_loader_drop_last_and_shuffle_determinism(clean_store):
+    ds = CleanPatchDataset(clean_store, augment=False)
+    l1 = Loader(ds, batch_size=4, shuffle=True, seed=7, num_workers=0, drop_last=True)
+    l2 = Loader(ds, batch_size=4, shuffle=True, seed=7, num_workers=0, drop_last=True)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    onp.testing.assert_array_equal(b1["clean"], b2["clean"])
+    assert len(l1) == 1  # 6 // 4
+
+
+def test_loader_mixed_fields(sid_tree):
+    root, pairs = sid_tree
+    ds = SIDDataset(root, pairs, augment=False, memorize=False, patch_size=32)
+    loader = Loader(ds, batch_size=2, num_workers=0)
+    batch = next(iter(loader))
+    assert batch["input"].shape[0] == 2
+    assert isinstance(batch["fn"], list)  # string field collates to list
+
+
+# ---------- builder ----------
+
+def test_extract_patches():
+    img = onp.arange(8 * 10 * 2, dtype=onp.float32).reshape(8, 10, 2)
+    patches = extract_patches(img, 4, 4)
+    assert patches.shape == (4, 4, 4, 2)
+    onp.testing.assert_array_equal(patches[0], img[0:4, 1:5])  # center-aligned grid
+
+
+def test_build_patch_db(tmp_path, rng):
+    raws = []
+    for i in range(2):
+        p = tmp_path / f"r{i}.dng"
+        p.write_bytes(make_dng(rng.integers(512, 16384, (64, 64)).astype(onp.uint16)))
+        raws.append(str(p))
+    out = build_patch_db(raws, str(tmp_path / "db.eps"), patch=16, stride=16,
+                         verbose=False)
+    store = PatchStore(out)
+    assert len(store) == 2 * 4  # (32/16)^2 per file after packing to 32x32x4
+    assert store.shape == (16, 16, 4)
+    assert store.meta["wb"].shape[0] == len(store)
+
+
+def test_build_patch_db_refuses_overwrite(tmp_path, rng):
+    p = tmp_path / "r.dng"
+    p.write_bytes(make_dng(rng.integers(512, 16384, (64, 64)).astype(onp.uint16)))
+    build_patch_db([str(p)], str(tmp_path / "db.eps"), patch=16, stride=16, verbose=False)
+    with pytest.raises(FileExistsError):
+        build_patch_db([str(p)], str(tmp_path / "db.eps"), patch=16, stride=16,
+                       verbose=False)

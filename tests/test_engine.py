@@ -1,0 +1,136 @@
+"""Engine + checkpoint + CLI end-to-end tests (tiny fixture data)."""
+
+import os
+
+import numpy as onp
+import pytest
+
+from eld_tpu.config import Config
+from eld_tpu.data.datasets import CleanPatchDataset
+from eld_tpu.data.loader import Loader
+from eld_tpu.data.patchstore import PatchStore, PatchStoreWriter
+from eld_tpu.train.engine import Engine
+
+
+@pytest.fixture
+def clean_store(tmp_path, rng):
+    path = str(tmp_path / "clean.eps")
+    with PatchStoreWriter(path, (32, 32, 4), dtype=onp.uint16) as w:
+        for _ in range(8):
+            w.append(rng.integers(0, 65536, (32, 32, 4)).astype(onp.uint16),
+                     wb=onp.array([2.0, 1.0, 1.5, 1.0]), ccm=onp.eye(3))
+    return path
+
+
+def small_cfg(tmp_path, **kw):
+    base = dict(
+        name="t", checkpoints_dir=str(tmp_path / "ckpt"), is_train=True,
+        batch_size=4, mesh_data=2, noise="pg", include=4, no_log=True,
+        no_verbose=True, n_threads=0, save_epoch_freq=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_engine_train_eval_cycle(tmp_path, clean_store, rng):
+    cfg = small_cfg(tmp_path)
+    engine = Engine(cfg)
+    ds = CleanPatchDataset(PatchStore(clean_store), rng=onp.random.default_rng(0))
+    loader = Loader(ds, batch_size=4, shuffle=True, num_workers=0, drop_last=True)
+
+    meters = engine.train(loader)
+    assert engine.epoch == 1
+    assert engine.iterations == 2
+    assert "Pixel" in meters.keys()
+
+    # eval protocol on a synthetic pair
+    item = {
+        "input": rng.random((32, 32, 4), dtype=onp.float32),
+        "target": rng.random((32, 32, 4), dtype=onp.float32),
+        "fn": "synthetic",
+    }
+    res = engine.eval_one(item, correct=True, crop=False)
+    assert set(res) == {"PSNR", "SSIM"}
+
+
+def test_engine_checkpoint_roundtrip(tmp_path, clean_store):
+    cfg = small_cfg(tmp_path, no_log=False)
+    engine = Engine(cfg)
+    ds = CleanPatchDataset(PatchStore(clean_store), rng=onp.random.default_rng(0))
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=0, drop_last=True)
+    engine.train(loader)
+    path = engine.save(label="latest")
+    assert os.path.exists(path)
+
+    cfg2 = small_cfg(tmp_path, resume=True)
+    engine2 = Engine(cfg2)
+    assert engine2.epoch == engine.epoch
+    assert engine2.iterations == engine.iterations
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(engine.state.params),
+                    jax.tree_util.tree_leaves(engine2.state.params)):
+        onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+
+
+def test_engine_numbered_checkpoint_discovery(tmp_path, clean_store):
+    from eld_tpu.train.checkpoints import find_checkpoint
+
+    cfg = small_cfg(tmp_path)
+    engine = Engine(cfg)
+    engine.state = engine.state.replace(epoch=engine.state.epoch + 5)
+    p5 = engine.save()
+    engine.state = engine.state.replace(epoch=engine.state.epoch + 5)
+    p10 = engine.save()
+    assert find_checkpoint(cfg.save_dir) == p10
+    assert find_checkpoint(cfg.save_dir, epoch=5) == p5
+    assert find_checkpoint(cfg.save_dir, epoch=7) is None
+
+
+def test_engine_srgb_eval_stage(tmp_path, clean_store, rng):
+    cfg = small_cfg(tmp_path, stage_eval="srgb", crf=True)
+    engine = Engine(cfg)
+    item = {
+        "input": rng.random((32, 32, 4), dtype=onp.float32),
+        "target": rng.random((32, 32, 4), dtype=onp.float32),
+        "wb": onp.array([1.9, 1.0, 1.6, 1.0], onp.float32),
+        "ccm": onp.eye(3, dtype=onp.float32),
+        "fn": "synthetic",
+    }
+    res = engine.eval_one(item, correct=True, crop=False)
+    assert onp.isfinite(res["PSNR"])
+
+
+def test_engine_png_dumps(tmp_path, clean_store, rng):
+    cfg = small_cfg(tmp_path)
+    engine = Engine(cfg)
+    item = {
+        "input": rng.random((32, 32, 4), dtype=onp.float32),
+        "target": rng.random((32, 32, 4), dtype=onp.float32),
+        "fn": "scene1.dng",
+    }
+    savedir = str(tmp_path / "dump")
+    engine.eval_one(item, correct=True, crop=False, savedir=savedir)
+    files = os.listdir(os.path.join(savedir, "scene1"))
+    assert any(f.startswith("t_") or f == "t_label.png" for f in files)
+    assert len(files) == 3
+
+
+def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
+    """The flagship CLI end-to-end on fixture data (2 epochs)."""
+    traindir = tmp_path / "Train"
+    traindir.mkdir()
+    # the CLI expects SID_Sony_Raw.eps
+    import shutil
+
+    shutil.copytree(clean_store, traindir / "SID_Sony_Raw.eps")
+    from eld_tpu.tools import train_syn
+
+    engine = train_syn.main([
+        "--traindir", str(traindir), "--evaldir", str(tmp_path / "missing"),
+        "--epochs", "2", "--name", "cli_t", "--noise", "pg", "--include", "4",
+        "-b", "4", "--mesh_data", "2", "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--no-log", "--no-verbose", "--nThreads", "0",
+    ])
+    assert engine.epoch == 2
+    assert engine.iterations == 4
