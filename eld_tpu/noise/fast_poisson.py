@@ -1,0 +1,61 @@
+"""Fast per-pixel-rate Poisson sampling for TPU.
+
+``jax.random.poisson`` uses Hörmann-style transformed rejection with a
+``while_loop`` that iterates whole-array rounds until every lane accepts —
+a poor fit for the VPU (measured ~35 ms for an 8x512x512x4 batch, ~30% of
+the whole fused train step).  Shot-noise rates here span ~0..3000
+electrons with most pixels dark, so a branch-free hybrid is much faster
+and statistically indistinguishable for this workload:
+
+  * lam <= SMALL_MAX: exact inverse-CDF search with a FIXED number of
+    accumulation steps (vectorized Knuth; truncation error < 1e-9 at the
+    switch point);
+  * lam  > SMALL_MAX: normal approximation round(lam + sqrt(lam)*N)
+    clamped at >= 0 (error O(1/sqrt(lam)), standard above ~15).
+
+Exactness-critical callers (distribution parity tests, replay) can use
+``jax.random.poisson`` via ``synthesize(..., poisson="exact")``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SMALL_MAX = 12.0
+# enough CDF terms to cover lam <= SMALL_MAX to ~1e-9 tail mass
+_N_TERMS = 40
+
+
+def fast_poisson(key, lam: jnp.ndarray) -> jnp.ndarray:
+    """Sample Poisson(lam) elementwise; returns float32 counts."""
+    k_u, k_n = jax.random.split(key)
+    lam = jnp.maximum(lam.astype(jnp.float32), 0.0)
+
+    # --- small branch: fixed-step inverse-CDF ---
+    lam_s = jnp.minimum(lam, SMALL_MAX)
+    u = jax.random.uniform(k_u, lam.shape, dtype=jnp.float32,
+                           minval=1e-12, maxval=1.0)
+    # accumulate F = sum_{k<=n} e^-lam lam^k / k! ; count = #{F < u}.
+    # The term recursion runs in LINEAR space (p_{k+1} = p_k*lam/(k+1)):
+    # one exp total — TPU's approximate transcendentals in a per-term
+    # log/exp recursion visibly skew the small-lam distribution.
+    def body(k, carry):
+        pk, cdf, count = carry
+        # gate on pk: once terms underflow the remaining mass is < 1e-10;
+        # without it a u above the f32-saturated cdf would run to _N_TERMS
+        live = jnp.logical_and(cdf < u, pk > 1e-12)
+        count = count + live.astype(jnp.float32)
+        pk = pk * lam_s / (k + 1).astype(jnp.float32)
+        cdf = cdf + pk
+        return pk, cdf, count
+
+    p0 = jnp.exp(-lam_s)
+    _, _, small = jax.lax.fori_loop(
+        0, _N_TERMS, body, (p0, p0, jnp.zeros_like(lam_s)))
+
+    # --- large branch: normal approximation ---
+    n = jax.random.normal(k_n, lam.shape, dtype=jnp.float32)
+    large = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * n), 0.0)
+
+    return jnp.where(lam > SMALL_MAX, large, small)

@@ -58,7 +58,14 @@ def test_noise_application_moments_match(model):
 
     e_h = (z_h - y).ravel()
     e_d = (z_d - y).ravel()
-    # mean difference bounded by 4x the standard error of the difference
-    se = e_d.std() * onp.sqrt(2.0 / e_d.size)
+    # mean difference bounded by 4x the standard error of the difference;
+    # row noise ('r') is correlated across each row, so only 2H of its
+    # draws are independent — account for that separately.
+    se_iid = e_d.std() * onp.sqrt(2.0 / e_d.size)
+    scale = pd["ratio"] / pd["saturation_level"]
+    se_row = 0.0
+    if "r" in model:
+        se_row = pd["R_scale"] * scale / onp.sqrt(2 * y.shape[0])
+    se = onp.sqrt(se_iid**2 + 2 * se_row**2)
     assert abs(e_h.mean() - e_d.mean()) < 4 * se
     assert abs(e_h.std() / e_d.std() - 1.0) < 0.05

@@ -192,3 +192,34 @@ def test_jit_compatible():
         k, y, sample_params_batch(k, bank, y.shape[0]), model="eld"))
     out = fn(jax.random.PRNGKey(14), jnp.full((2, 32, 32, 4), 0.3))
     assert out.shape == (2, 32, 32, 4)
+
+
+def test_fast_poisson_distribution():
+    """Hybrid sampler matches the exact PMF below the switch point and the
+    first two moments above it (noise/fast_poisson.py)."""
+    from eld_tpu.noise.fast_poisson import fast_poisson
+
+    for lam in (0.05, 0.5, 2.0, 8.0):
+        s = onp.asarray(fast_poisson(jax.random.PRNGKey(int(lam * 100)),
+                                     jnp.full((300_000,), lam)))
+        vals, counts = onp.unique(s, return_counts=True)
+        pmf_err = onp.abs(counts / len(s) - sps.poisson(lam).pmf(vals)).max()
+        assert pmf_err < 2.5e-3, (lam, pmf_err)
+        assert abs(s.var() / lam - 1.0) < 0.02, lam
+    for lam in (30.0, 500.0):
+        s = onp.asarray(fast_poisson(jax.random.PRNGKey(7), jnp.full((200_000,), lam)))
+        assert abs(s.mean() / lam - 1.0) < 5e-3
+        assert abs(s.var() / lam - 1.0) < 2e-2
+
+
+def test_fast_poisson_mixed_rates():
+    """Per-pixel rates crossing the hybrid switch point stay unbiased."""
+    from eld_tpu.noise.fast_poisson import fast_poisson
+
+    lam = jnp.asarray(onp.geomspace(0.01, 1000, 64, dtype=onp.float32))
+    lam = jnp.tile(lam, (10_000, 1))
+    s = onp.asarray(fast_poisson(jax.random.PRNGKey(3), lam))
+    rel = onp.abs(s.mean(0) / onp.asarray(lam[0]) - 1.0)
+    # per-rate sampling error ~ 1/sqrt(n*lam); allow 5 sigma
+    tol = 5.0 / onp.sqrt(10_000 * onp.asarray(lam[0]))
+    assert (rel < onp.maximum(tol, 5e-3)).all()
