@@ -29,11 +29,15 @@ WARMUP = 3
 
 
 def build(batch):
+    import jax.numpy as jnp
+
     from eld_tpu.models import build_arch
     from eld_tpu.noise import load_camera_params
     from eld_tpu.train import create_train_state, make_train_step
 
-    model = build_arch("unet", 4, 4)
+    # production train config: bf16 compute, f32 params/optimizer (the
+    # standard TPU mixed-precision recipe; --bf16 in the CLIs)
+    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16)
     bank = load_camera_params()
     state = create_train_state(model, jax.random.PRNGKey(0), (1, PATCH, PATCH, 4))
     step = make_train_step(model, loss="l1", noise_model="eld", bank=bank)

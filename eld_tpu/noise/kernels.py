@@ -1,0 +1,182 @@
+"""Fused Pallas TPU kernel for physics noise synthesis.
+
+One VMEM pass per (rows x W*C) tile generates every noise component with
+the on-core hardware PRNG (``pltpu.prng_random_bits``) instead of
+XLA's counter-based threefry — the threefry bit generation is most of
+the cost of the pure-jnp path.  Components fused per tile:
+
+    shot noise (hybrid Poisson: fixed-step inverse-CDF below lam=12,
+    normal approx above — same algorithm as noise/fast_poisson.py),
+    Gaussian read, Tukey-lambda read, per-sensor-row noise,
+    quantization noise, per-channel color bias
+
+Layout: the (N, H, W, 4) batch is viewed as (N, H, W*4) so the lane
+dimension is 128-aligned; channel identity is recovered as lane%4.
+Grid = (N, H/BH); per-image parameters ride in SMEM.
+
+The kernel is validated distributionally against the jnp reference path
+(tests/test_pallas_noise.py) and is the default on TPU; the jnp path
+remains the fallback (interpret mode / CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eld_tpu.noise.params import NoiseParams
+
+BH = 128          # rows per tile
+_N_TERMS = 40     # Poisson CDF terms (matches fast_poisson)
+_SMALL_MAX = 12.0
+
+_TWO_PI = 6.283185307179586
+
+
+def _uniform(shape):
+    """U(0,1) in f32 from hardware random bits (24-bit mantissa path).
+
+    prng_random_bits yields *signed* int32 and Mosaic can't cast
+    uint32->f32, so mask down to the low 23 bits (non-negative int32)."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits & 0x007FFFFF).astype(jnp.float32) * (1.0 / 8388608.0)
+
+
+def _normal_pair(shape):
+    """Two independent N(0,1) draws via Box-Muller."""
+    u1 = jnp.maximum(_uniform(shape), 1e-7)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
+
+
+def _poisson_hybrid(lam, n_norm):
+    """Poisson(lam) given a standard normal draw for the large branch."""
+    lam_s = jnp.minimum(lam, _SMALL_MAX)
+    u = jnp.maximum(_uniform(lam.shape), 1e-12)
+
+    def body(k, carry):
+        pk, cdf, count = carry
+        live = jnp.logical_and(cdf < u, pk > 1e-12)
+        count = count + live.astype(jnp.float32)
+        pk = pk * lam_s / (k + 1).astype(jnp.float32)
+        cdf = cdf + pk
+        return pk, cdf, count
+
+    p0 = jnp.exp(-lam_s)
+    _, _, small = jax.lax.fori_loop(0, _N_TERMS, body,
+                                    (p0, p0, jnp.zeros_like(lam_s)))
+    large = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * n_norm), 0.0)
+    return jnp.where(lam > _SMALL_MAX, large, small)
+
+
+def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
+                  sat_ref, ratio_ref, y_ref, out_ref, *, model: str,
+                  channels: int):
+    img = pl.program_id(0)
+    tile = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0, 0] + img * pl.num_programs(1) + tile)
+
+    K = K_ref[img, 0]
+    sat = sat_ref[img, 0]
+    ratio = ratio_ref[img, 0]
+
+    y = y_ref[0] * (sat / ratio)  # (bh, w*c): rows x lanes
+    shape = y.shape
+
+    n1, n2 = _normal_pair(shape)
+
+    if "P" in model:
+        z = _poisson_hybrid(y / K, n1) * K
+    elif "p" in model:
+        z = y + n1 * jnp.sqrt(jnp.maximum(K * y, 1e-10))
+    else:
+        z = y
+
+    if "g" in model:
+        z = z + n2 * jnp.maximum(g_ref[img, 0], 1e-10)
+
+    if "G" in model:
+        lam = lamb_ref[img, 0]
+        u = jnp.clip(_uniform(shape), 1e-7, 1.0 - 1e-7)
+        safe = jnp.where(jnp.abs(lam) < 1e-6, 1.0, lam)
+        q = (jnp.exp(safe * jnp.log(u)) - jnp.exp(safe * jnp.log1p(-u))) / safe
+        logistic = jnp.log(u) - jnp.log1p(-u)
+        tl = jnp.where(jnp.abs(lam) < 1e-6, logistic, q)
+        z = z + tl * jnp.maximum(G_ref[img, 0], 1e-10)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    chan = lane % channels
+
+    if "r" in model:
+        # one draw per sensor row: two lanes of a (BH, 128) block of
+        # normals, broadcast across the row; (R,G1)->even, (B,G2)->odd
+        rn, _ = _normal_pair((shape[0], 128))
+        even = jax.lax.broadcast_in_dim(rn[:, 0], shape, (0,))
+        odd = jax.lax.broadcast_in_dim(rn[:, 1], shape, (0,))
+        row = jnp.where(chan < 2, even, odd) if channels == 4 else even
+        z = z + row * R_ref[img, 0]
+
+    if "q" in model:
+        z = z + (_uniform(shape) - 0.5)
+
+    if "c" in model:
+        c0, c1, c2, c3 = (cb_ref[img, 0], cb_ref[img, 1], cb_ref[img, 2], cb_ref[img, 3])
+        bias = jnp.where(chan == 0, c0,
+                         jnp.where(chan == 1, c1,
+                                   jnp.where(chan == 2, c2, c3)))
+        z = z + bias
+
+    out_ref[0] = z * (ratio / sat)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "interpret"))
+def synthesize_pallas(seed, clean, params: NoiseParams, model: str = "PGrqc",
+                      interpret: bool = False):
+    """Fused noise synthesis. clean: (N, H, W, C); params batched (N,).
+
+    seed: int32 scalar (distinct per step). Returns clipped noisy batch.
+    """
+    from eld_tpu.noise.model import expand_model
+
+    model = expand_model(model)
+    n, h, w, c = clean.shape
+    assert (w * c) % 128 == 0, f"W*C={w*c} must be lane-aligned (128)"
+    bh = min(BH, h)
+    assert h % bh == 0
+
+    flat = clean.reshape(n, h, w * c)
+
+    smem_full = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    scalar = lambda x: jnp.asarray(x, jnp.float32).reshape(n, 1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_noise_kernel, model=model, channels=c),
+        grid=(n, h // bh),
+        in_specs=[
+            smem_full,  # seed (1,1)
+            smem_full, smem_full, smem_full, smem_full, smem_full,  # K g G lam R
+            smem_full,  # color bias (n, 4)
+            smem_full, smem_full,  # sat ratio
+            pl.BlockSpec((1, bh, w * c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w * c), jnp.float32),
+        interpret=interpret,
+    )(
+        seed_arr,
+        scalar(params.K), scalar(params.g_scale), scalar(params.G_scale),
+        scalar(params.G_shape), scalar(params.R_scale),
+        jnp.asarray(params.color_bias, jnp.float32).reshape(n, -1)[:, :4],
+        scalar(params.saturation_level), scalar(params.ratio),
+        flat,
+    )
+    return jnp.clip(out.reshape(n, h, w, c), 0.0, 1.0)

@@ -32,6 +32,17 @@ def pixel_loss(pred, target, kind: str = "l1"):
     raise ValueError(f"unknown loss {kind!r}")
 
 
+def _use_pallas_noise(clean_shape) -> bool:
+    """The fused Pallas sampler needs a TPU backend and lane-aligned rows."""
+    n, h, w, c = clean_shape
+    if (w * c) % 128 != 0 or h % 8 != 0:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def make_train_step(
     model,
     loss: str = "l1",
@@ -40,12 +51,16 @@ def make_train_step(
     k_mode: str = "overridden",
     mesh=None,
     donate: bool = True,
+    noise_impl: str = "auto",
 ):
     """Build the jitted train step.
 
     If ``noise_model`` is set the step takes {"clean": (N,H,W,C)} batches
     and synthesizes the noisy input on-device; otherwise it takes
     {"input", "target"} paired batches (the ``train_real.py`` path).
+
+    noise_impl: "auto" (fused Pallas kernel on TPU, jnp elsewhere),
+    "pallas", or "jnp".
 
     With ``mesh`` the step is jitted with explicit shardings: batch over
     ``data``, state replicated — XLA inserts the gradient psum over ICI.
@@ -55,12 +70,22 @@ def make_train_step(
     if synthetic and bank is None:
         raise ValueError("synthetic training needs a CameraParamsBank")
 
+    def _synthesize(key, clean, nparams):
+        use_pallas = noise_impl == "pallas" or (
+            noise_impl == "auto" and mesh is None and _use_pallas_noise(clean.shape))
+        if use_pallas:
+            from eld_tpu.noise.kernels import synthesize_pallas
+
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+            return synthesize_pallas(seed, clean, nparams, model=noise_model)
+        return synthesize(key, clean, nparams, model=noise_model, clip=True)
+
     def step(state, batch, key):
         if synthetic:
             clean = batch["clean"]
             k_params, k_apply = jax.random.split(key)
             nparams = sample_params_batch(k_params, bank, clean.shape[0], k_mode=k_mode)
-            noisy = synthesize(k_apply, clean, nparams, model=noise_model, clip=True)
+            noisy = _synthesize(k_apply, clean, nparams)
             target = clean
         else:
             noisy = batch["input"]

@@ -60,3 +60,36 @@ def test_identical_images():
     assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
     res = quality_assess(x, x + 1.0)
     assert res["PSNR"] == pytest.approx(48.13, abs=0.01)  # 20log10(255/1)
+
+
+def test_video_quality_assess(rng):
+    from eld_tpu.ops.metrics import quality_assess_video
+
+    x = rng.random((3, 32, 32, 4)).astype(onp.float32) * 255
+    y = onp.clip(x + rng.normal(0, 10, x.shape), 0, 255).astype(onp.float32)
+    res = quality_assess_video(x, y)
+    want = onp.mean([ref_psnr(x[t], y[t]) for t in range(3)])
+    assert res["PSNR"] == pytest.approx(want, abs=1e-3)
+    assert 0 < res["SSIM"] <= 1
+
+
+def test_ncc_and_local_error(rng):
+    from eld_tpu.ops.metrics import compare_ncc, local_error
+
+    x = rng.random((16, 16)).astype(onp.float32)
+    assert float(compare_ncc(x, x)) == pytest.approx(1.0, abs=1e-5)
+    assert abs(float(compare_ncc(x, -x)) + 1.0) < 1e-5
+
+    img = rng.random((24, 24, 3)).astype(onp.float32)
+    # estimate = 2x correct -> local rescale makes the error ~0
+    err = float(local_error(img, img * 2.0, 8, 8))
+    assert err < 1e-10
+
+
+def test_raw2gray(rng):
+    from eld_tpu.ops.metrics import raw2gray
+
+    x = onp.ones((2, 8, 8, 4), onp.float32)
+    g = raw2gray(x)
+    assert g.shape == (2, 8, 8)
+    onp.testing.assert_allclose(onp.asarray(g), 1.0, rtol=1e-5)

@@ -81,3 +81,28 @@ def test_gradients_flow():
 
 def test_alignment():
     assert UNetSeeInDark.alignment() == 16
+
+
+def test_netutils():
+    from eld_tpu.models.netutils import receptive_field, unet_receptive_field, weight_init
+
+    # single 3x3 conv: rf 3; two convs: 5; conv+pool+conv: 3+2*... check recurrence
+    assert receptive_field([(3, 1)])[0] == 3
+    assert receptive_field([(3, 1), (3, 1)])[0] == 5
+    assert receptive_field([(3, 1), (2, 2), (3, 1)])[0] == 8
+    assert unet_receptive_field() > 100  # 5-level UNet sees >100 px
+    for kind in ("normal", "xavier", "kaiming", "orthogonal"):
+        init = weight_init(kind)
+        w = init(jax.random.PRNGKey(0), (3, 3, 4, 8))
+        assert w.shape == (3, 3, 4, 8)
+
+
+def test_multiple_loss():
+    from eld_tpu.models.losses import MultipleLoss, init_loss, l1_loss, l2_loss
+
+    pred = jnp.ones((2, 4, 4, 1))
+    tgt = jnp.zeros((2, 4, 4, 1))
+    assert float(init_loss("l1")(pred, tgt)) == 1.0
+    assert float(init_loss("l2")(pred, tgt)) == 1.0
+    combo = MultipleLoss([l1_loss, l2_loss], weight=[0.25, 0.75])
+    assert float(combo(pred * 2, tgt)) == 0.25 * 2 + 0.75 * 4
