@@ -61,6 +61,8 @@ class Config:
     bf16: bool = False         # bf16 compute dtype (params stay f32)
     remat: bool = False        # rematerialize U-Net levels
     k_mode: str = "overridden"  # noise K sampling: overridden|calibrated
+    profile: bool = False      # jax.profiler trace of the first train steps
+    async_ckpt: bool = True    # overlap checkpoint writes with training
 
     @property
     def in_channels(self) -> int:
@@ -111,6 +113,8 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
     t.add_argument("--remat", action="store_true")
     t.add_argument("--k_mode", type=str, default="overridden",
                    choices=["overridden", "calibrated"])
+    t.add_argument("--profile", action="store_true")
+    t.add_argument("--no-async-ckpt", dest="async_ckpt", action="store_false")
 
     if train:
         tr = p.add_argument_group("train")

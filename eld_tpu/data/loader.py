@@ -102,3 +102,38 @@ class Loader:
                 yield batch
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, mesh, size: int = 2, filter_arrays: bool = True):
+    """Wrap a host batch iterator with async device placement: batch i+1's
+    host->device transfer overlaps batch i's compute (device_put is async).
+
+    The flax prefetch_to_device pattern, mesh-aware: arrays land already
+    sharded over the mesh's data axis.
+    """
+    import collections
+
+    import numpy as onp
+
+    from eld_tpu.parallel.mesh import shard_batch
+
+    queue = collections.deque()
+
+    def put(batch):
+        if filter_arrays:
+            batch = {k: v for k, v in batch.items()
+                     if isinstance(v, onp.ndarray) and v.dtype != object}
+        return shard_batch(mesh, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

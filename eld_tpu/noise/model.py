@@ -100,8 +100,10 @@ def apply_noise(key: jax.Array, y: jnp.ndarray, p: NoiseParams, model: str = "g"
     if "q" in model:
         z = z + jax.random.uniform(k_quant, y.shape, minval=-0.5, maxval=0.5)
 
-    if "c" in model:
-        z = z + p.color_bias[: y.shape[-1]].reshape((1, 1, -1))
+    if "c" in model and y.shape[-1] == 4:
+        # color bias is calibrated per Bayer channel; non-Bayer layouts
+        # (9-ch X-Trans) skip it
+        z = z + p.color_bias.reshape((1, 1, -1))
 
     return z * p.ratio / p.saturation_level
 

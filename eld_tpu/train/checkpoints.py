@@ -24,13 +24,37 @@ import orbax.checkpoint as ocp
 
 _NUMBERED = re.compile(r"model_(\d{3})_(\d{8})\.ckpt$")
 
+_ASYNC = None
+
 
 def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(save_dir: str, state, label: Optional[str] = None):
-    """Save a TrainState. label=None -> numbered name from state counters."""
+def _async_ckptr():
+    global _ASYNC
+    if _ASYNC is None:
+        import atexit
+
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        atexit.register(_ASYNC.wait_until_finished)
+    return _ASYNC
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint writes land."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
+def save_checkpoint(save_dir: str, state, label: Optional[str] = None,
+                    async_: bool = False):
+    """Save a TrainState. label=None -> numbered name from state counters.
+
+    async_=True overlaps the write with subsequent training (the
+    fault-tolerance upgrade SURVEY.md §5 calls for over the reference's
+    synchronous torch.save); call wait_for_saves() before reading back.
+    """
     os.makedirs(save_dir, exist_ok=True)
     epoch = int(state.epoch)
     iters = int(state.step)
@@ -42,7 +66,12 @@ def save_checkpoint(save_dir: str, state, label: Optional[str] = None):
         "epoch": epoch,
         "iterations": iters,
     }
-    _ckptr().save(path, payload, force=True)
+    if async_:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()  # at most one write in flight per name
+        ckptr.save(path, payload, force=True)
+    else:
+        _ckptr().save(path, payload, force=True)
     return path
 
 

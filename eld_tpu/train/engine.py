@@ -29,7 +29,6 @@ from eld_tpu.noise import load_camera_params
 from eld_tpu.ops.correct import illuminance_correct
 from eld_tpu.ops.metrics import quality_assess
 from eld_tpu.parallel import make_mesh, MeshSpec
-from eld_tpu.parallel.mesh import shard_batch
 from eld_tpu.train import checkpoints as ckpt
 from eld_tpu.train.state import (
     create_train_state,
@@ -56,6 +55,10 @@ class Engine:
         self._key = jax.random.PRNGKey(cfg.seed)
 
         self.mesh = mesh or make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_spatial))
+        # a 1-device mesh is plain jit: keeps buffer donation and the
+        # direct (non-shard_map) Pallas noise path, both of which are
+        # faster to compile and run single-chip
+        self._step_mesh = self.mesh if self.mesh.devices.size > 1 else None
         data_size = self.mesh.shape["data"]
         if cfg.is_train and cfg.batch_size % data_size != 0:
             raise ValueError(
@@ -97,7 +100,7 @@ class Engine:
                 noise_model=cfg.noise if synthetic else None,
                 bank=self.bank,
                 k_mode=cfg.k_mode,
-                mesh=self.mesh,
+                mesh=self._step_mesh,
             )
         self._fwd = make_eval_forward(self.model, chop=cfg.chop)
 
@@ -133,13 +136,18 @@ class Engine:
         meters = AverageMeters()
         t0 = time.time()
         n = len(loader)
-        for i, batch in enumerate(loader):
-            batch = {k: v for k, v in batch.items()
-                     if isinstance(v, onp.ndarray) and v.dtype != object}
-            sharded = shard_batch(self.mesh, batch)
+        profiling = cfg.profile and self.epoch == 0
+        if profiling:
+            jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
+        from eld_tpu.data.loader import prefetch_to_device
+
+        for i, sharded in enumerate(prefetch_to_device(loader, self.mesh)):
+            if profiling and i == min(8, n):
+                jax.profiler.stop_trace()
+                profiling = False
             self._key, sub = jax.random.split(self._key)
             self.state, metrics = self._train_step(self.state, sharded, sub)
-            bs = next(iter(batch.values())).shape[0]
+            bs = next(iter(sharded.values())).shape[0]
             self.throughput.tick(bs)
             meters.update({k: float(v) for k, v in metrics.items()})
             progress(i, n, f"{meters} | {self.throughput.items_per_sec:.1f} patches/s",
@@ -147,6 +155,8 @@ class Engine:
             if not cfg.no_log:
                 write_loss(self.writer, "train", meters, self.iterations)
 
+        if profiling:
+            jax.profiler.stop_trace()
         self.state = self.state.replace(epoch=self.state.epoch + 1)
         if not cfg.no_log:
             if self.epoch % cfg.save_epoch_freq == 0:
@@ -246,10 +256,15 @@ class Engine:
             progress(i, n)
 
     # ---- checkpoints ----
-    def save(self, label: Optional[str] = None):
-        return ckpt.save_checkpoint(self.cfg.save_dir, self.state, label)
+    def save(self, label: Optional[str] = None, wait: bool = False):
+        path = ckpt.save_checkpoint(self.cfg.save_dir, self.state, label,
+                                    async_=self.cfg.async_ckpt)
+        if wait:
+            ckpt.wait_for_saves()
+        return path
 
     def load(self, model_path: Optional[str] = None, resume_epoch: Optional[int] = None):
+        ckpt.wait_for_saves()
         path = model_path or ckpt.find_checkpoint(self.cfg.save_dir, resume_epoch)
         if path is None:
             raise FileNotFoundError(

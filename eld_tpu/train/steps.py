@@ -71,14 +71,36 @@ def make_train_step(
         raise ValueError("synthetic training needs a CameraParamsBank")
 
     def _synthesize(key, clean, nparams):
+        # auto: direct Pallas under plain jit; under a real mesh default to
+        # the jnp path — the shard_map+pallas_call composition compiles
+        # pathologically slowly at production shapes (minutes at 512^2 on
+        # v5e) and the jnp path is only ~5ms/batch slower per step.
         use_pallas = noise_impl == "pallas" or (
             noise_impl == "auto" and mesh is None and _use_pallas_noise(clean.shape))
-        if use_pallas:
-            from eld_tpu.noise.kernels import synthesize_pallas
+        if not use_pallas:
+            return synthesize(key, clean, nparams, model=noise_model, clip=True)
 
-            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        from eld_tpu.noise.kernels import synthesize_pallas
+
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+        if mesh is None:
             return synthesize_pallas(seed, clean, nparams, model=noise_model)
-        return synthesize(key, clean, nparams, model=noise_model, clip=True)
+
+        # under a mesh the kernel runs per data-shard via shard_map with a
+        # distinct seed per shard (replicated across the spatial axis)
+        from jax import shard_map
+
+        def local_syn(seed, clean_l, nparams_l):
+            s = seed + jax.lax.axis_index(DATA_AXIS) * 7919
+            return synthesize_pallas(s, clean_l, nparams_l, model=noise_model)
+
+        return shard_map(
+            local_syn,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(seed, clean, nparams)
 
     def step(state, batch, key):
         if synthetic:
@@ -105,11 +127,13 @@ def make_train_step(
     repl = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P(DATA_AXIS))
     batch_sh = {"clean": batched} if synthetic else {"input": batched, "target": batched}
+    # No donation under a mesh: buffer aliasing across pjit+shard_map blows
+    # XLA compile time up ~20x (273s vs 12s measured on v5e) for a ~190MB
+    # saving at this model size.
     return jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else (),
     )
 
 

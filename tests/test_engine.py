@@ -26,7 +26,7 @@ def small_cfg(tmp_path, **kw):
     base = dict(
         name="t", checkpoints_dir=str(tmp_path / "ckpt"), is_train=True,
         batch_size=4, mesh_data=2, noise="pg", include=4, no_log=True,
-        no_verbose=True, n_threads=0, save_epoch_freq=1,
+        no_verbose=True, n_threads=0, save_epoch_freq=1, async_ckpt=False,
     )
     base.update(kw)
     return Config(**base)
@@ -134,3 +134,16 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
     ])
     assert engine.epoch == 2
     assert engine.iterations == 4
+
+
+def test_async_checkpoint(tmp_path, clean_store):
+    from eld_tpu.train.checkpoints import wait_for_saves
+
+    cfg = small_cfg(tmp_path, async_ckpt=True)
+    engine = Engine(cfg)
+    path = engine.save(label="latest")
+    wait_for_saves()
+    assert os.path.exists(path)
+    cfg2 = small_cfg(tmp_path, resume=True)
+    engine2 = Engine(cfg2)  # load() waits for in-flight saves itself
+    assert engine2.iterations == engine.iterations
