@@ -118,3 +118,40 @@ def test_sid_eval_protocol(sid_eval_tree, tmp_path):
     loader = Loader(ds, batch_size=1, num_workers=0)
     res = engine.eval(loader, dataset_name="fixture", correct=True, crop=True)
     assert onp.isfinite(res["PSNR"]) and 0 <= res["SSIM"] <= 1
+
+
+def test_eld_eval_cli(tmp_path, rng):
+    """test_eld CLI end-to-end: fixture ELD tree + a saved checkpoint."""
+    from eld_tpu.config import Config
+    from eld_tpu.train.engine import Engine
+
+    # checkpoint to resume from
+    cfg = Config(name="cli_eld", checkpoints_dir=str(tmp_path / "ck"),
+                 is_train=True, no_log=True, no_verbose=True, async_ckpt=False,
+                 batch_size=1, mesh_data=1)
+    Engine(cfg).save(label="latest")
+
+    # ELD tree: one camera, 2 scenes, the full id protocol (inputs
+    # 4,9,14 / 5,10,15 and their nearest GTs 6,11,16; DNG bytes at .CR2
+    # names — rawio parses the TIFF container regardless of extension)
+    base = tmp_path / "ELD"
+    for scene in (1, 2):
+        d = base / "CanonEOS70D" / f"scene-{scene}"
+        d.mkdir(parents=True)
+        gt = rng.integers(2048, 16384, (64, 64)).astype(onp.uint16)
+        dark = (512 + (gt.astype(onp.float32) - 512) / 100).astype(onp.uint16)
+        for gid in (6, 11, 16):
+            (d / f"IMG_{gid:04d}.CR2").write_bytes(make_dng(gt, iso=800, exposure=1.0))
+        for iid in (4, 9, 14, 5, 10, 15):
+            (d / f"IMG_{iid:04d}.CR2").write_bytes(make_dng(dark, iso=800, exposure=0.01))
+
+    from eld_tpu.tools import test_eld
+
+    results = test_eld.main([
+        "--datadir", str(base), "--scenes", "2", "--include", "1",
+        "--name", "cli_eld", "--checkpoints_dir", str(tmp_path / "ck"),
+        "--no-log", "--no-verbose", "--resume",
+    ])
+    # x100 uses img id 4 (exists); all entries finite
+    assert ("CanonEOS70D", "x100") in results
+    assert onp.isfinite(results[("CanonEOS70D", "x100")]["PSNR"])
