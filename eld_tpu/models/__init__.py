@@ -20,6 +20,13 @@ def unet(in_channels: int = 4, out_channels: int = 4, **kw) -> UNetSeeInDark:
     return UNetSeeInDark(in_channels=in_channels, out_channels=out_channels, **kw)
 
 
+@register_arch("unet_s2d")
+def unet_s2d(in_channels: int = 4, out_channels: int = 4, **kw):
+    from eld_tpu.models.unet_s2d import unet_s2d as _factory
+
+    return _factory(in_channels, out_channels, **kw)
+
+
 def build_arch(name: str, in_channels: int, out_channels: int, **kw):
     if name not in _ARCHS:
         raise KeyError(f"unknown arch {name!r}; have {sorted(_ARCHS)}")

@@ -106,3 +106,48 @@ def test_multiple_loss():
     assert float(init_loss("l2")(pred, tgt)) == 1.0
     combo = MultipleLoss([l1_loss, l2_loss], weight=[0.25, 0.75])
     assert float(combo(pred * 2, tgt)) == 0.25 * 2 + 0.75 * 4
+
+
+def test_s2d_roundtrip(rng):
+    from eld_tpu.models.unet_s2d import depth_to_space, space_to_depth
+
+    x = jnp.asarray(rng.random((2, 16, 12, 4), dtype=onp.float32))
+    y = space_to_depth(x)
+    assert y.shape == (2, 8, 6, 16)
+    onp.testing.assert_array_equal(onp.asarray(depth_to_space(y)), onp.asarray(x))
+    # block layout: output channel c*4+k holds the k-th pixel of each 2x2
+    onp.testing.assert_array_equal(onp.asarray(y[0, 0, 0, :4]),
+                                   onp.asarray(x[0, 0, 0, :]))
+
+
+def test_unet_s2d_arch(rng):
+    from eld_tpu.models import build_arch
+    from eld_tpu.train.state import param_count
+
+    model = build_arch("unet_s2d", 4, 4, base_width=4)
+    x = jnp.asarray(rng.random((1, 64, 64, 4), dtype=onp.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    y = model.apply({"params": params}, x)
+    assert y.shape == (1, 64, 64, 4)
+    assert bool(jnp.isfinite(y).all())
+    # full-size variant has ~the same parameter budget as the stock unet
+    big = build_arch("unet_s2d", 4, 4)
+    p = big.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))["params"]
+    assert abs(param_count(p) - 7_760_484) / 7_760_484 < 0.01
+
+
+def test_unet_s2d_trains(rng):
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch("unet_s2d", 4, 4, base_width=4)
+    bank = load_camera_params(include=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    step = make_train_step(model, noise_model="pg", bank=bank)
+    clean = jnp.asarray(rng.random((4, 32, 32, 4), dtype=onp.float32))
+    losses = []
+    for i in range(15):
+        state, m = step(state, {"clean": clean}, jax.random.PRNGKey(i))
+        losses.append(float(m["Pixel"]))
+    assert losses[-1] < losses[0]
