@@ -41,7 +41,12 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 2018, drop_last: bool = False,
-                 collate: Callable = default_collate, prefetch: int = 4):
+                 collate: Callable = default_collate, prefetch: int = 4,
+                 shard: tuple = (0, 1)):
+        """``shard=(rank, world)`` gives each host its slice of every global
+        batch (rows rank::world) — multi-host data loading: all hosts use
+        the same seed so permutations agree, each loads 1/world of the
+        batch (pair with jax.make_array_from_process_local_data)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +55,9 @@ class Loader:
         self.drop_last = drop_last
         self.collate = collate
         self.prefetch = prefetch
+        self.shard = shard
+        if batch_size % shard[1] != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by world {shard[1]}")
         self._epoch = 0
 
     def __len__(self):
@@ -57,6 +65,11 @@ class Loader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle permutation to a training epoch (cross-process
+        resume reproducibility; the Engine calls this each epoch)."""
+        self._epoch = epoch
 
     def _indices(self):
         n = len(self.dataset)
@@ -74,6 +87,9 @@ class Loader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        rank, world = self.shard
+        if world > 1:
+            batches = [b[rank::world] for b in batches]
 
         if self.num_workers <= 0:
             for b in batches:

@@ -136,6 +136,8 @@ class Engine:
         meters = AverageMeters()
         t0 = time.time()
         n = len(loader)
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(self.epoch)
         profiling = cfg.profile and self.epoch == 0
         if profiling:
             jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
@@ -145,7 +147,9 @@ class Engine:
             if profiling and i == min(8, n):
                 jax.profiler.stop_trace()
                 profiling = False
-            self._key, sub = jax.random.split(self._key)
+            # key = f(seed, iteration): resume reproduces the exact noise
+            # stream the uninterrupted run would have seen
+            sub = jax.random.fold_in(self._key, self.iterations)
             self.state, metrics = self._train_step(self.state, sharded, sub)
             bs = next(iter(sharded.values())).shape[0]
             self.throughput.tick(bs)

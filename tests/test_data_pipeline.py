@@ -198,3 +198,29 @@ def test_build_patch_db_refuses_overwrite(tmp_path, rng):
     with pytest.raises(FileExistsError):
         build_patch_db([str(p)], str(tmp_path / "db.eps"), patch=16, stride=16,
                        verbose=False)
+
+
+def test_loader_multihost_sharding(clean_store):
+    """Two 'hosts' with the same seed partition every global batch."""
+    ds = CleanPatchDataset(clean_store, augment=False)
+    full = Loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=0, drop_last=True)
+    h0 = Loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=0, drop_last=True,
+                shard=(0, 2))
+    h1 = Loader(ds, batch_size=4, shuffle=True, seed=3, num_workers=0, drop_last=True,
+                shard=(1, 2))
+    b_full = next(iter(full))["clean"]
+    b0 = next(iter(h0))["clean"]
+    b1 = next(iter(h1))["clean"]
+    assert b0.shape[0] == b1.shape[0] == 2
+    onp.testing.assert_array_equal(onp.concatenate([b0, b1]).sum(), b_full.sum())
+    with pytest.raises(ValueError):
+        Loader(ds, batch_size=3, shard=(0, 2))
+
+
+def test_loader_set_epoch(clean_store):
+    ds = CleanPatchDataset(clean_store, augment=False)
+    l1 = Loader(ds, batch_size=4, shuffle=True, seed=5, num_workers=0)
+    l2 = Loader(ds, batch_size=4, shuffle=True, seed=5, num_workers=0)
+    l1.set_epoch(7)
+    l2.set_epoch(7)
+    onp.testing.assert_array_equal(next(iter(l1))["clean"], next(iter(l2))["clean"])

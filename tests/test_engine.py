@@ -147,3 +147,36 @@ def test_async_checkpoint(tmp_path, clean_store):
     cfg2 = small_cfg(tmp_path, resume=True)
     engine2 = Engine(cfg2)  # load() waits for in-flight saves itself
     assert engine2.iterations == engine.iterations
+
+
+def test_resume_is_bit_deterministic(tmp_path, clean_store):
+    """Uninterrupted training == save/restore/continue, parameter-exact.
+
+    Requires (a) per-step keys derived from the iteration counter and
+    (b) loader epoch-seeded shuffling — the TPU-world reproducibility
+    story replacing the reference's global-seed footwork."""
+    import jax
+
+    def loader():
+        ds = CleanPatchDataset(PatchStore(clean_store),
+                               rng=onp.random.default_rng(0), augment=False)
+        return Loader(ds, batch_size=4, shuffle=True, num_workers=0, drop_last=True)
+
+    # run A: 2 epochs straight
+    a = Engine(small_cfg(tmp_path, name="detA"))
+    la = loader()
+    a.train(la)
+    a.train(la)
+
+    # run B: 1 epoch, checkpoint, fresh engine resumes, 1 more epoch
+    b1 = Engine(small_cfg(tmp_path, name="detB"))
+    lb = loader()
+    b1.train(lb)
+    b1.save(label="latest", wait=True)
+    b2 = Engine(small_cfg(tmp_path, name="detB", resume=True))
+    b2.train(lb)
+
+    assert a.iterations == b2.iterations
+    for x, y in zip(jax.tree_util.tree_leaves(a.state.params),
+                    jax.tree_util.tree_leaves(b2.state.params)):
+        onp.testing.assert_array_equal(onp.asarray(x), onp.asarray(y))
