@@ -1,0 +1,123 @@
+"""Synthetic convergence demo + arch quality A/B on device.
+
+Trains a denoiser end-to-end on procedurally generated "scenes" with the
+full ELD noise model — entirely on device (the clean set stays resident in
+HBM, so the demo measures the compute path even on hosts with slow
+device links).  Reports PSNR gain of the denoiser over the noisy input on
+a held-out set — the quality signal SURVEY.md's protocol measures, minus
+the (unavailable here) real SID raws.
+
+Also the arch A/B harness: --arch unet / unet_s2d under identical data,
+noise stream, and step budget.
+
+Usage:  python -m eld_tpu.tools.demo_synthetic --steps 600 --arch unet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+
+from eld_tpu.models import build_arch
+from eld_tpu.noise import load_camera_params, sample_params_batch
+from eld_tpu.noise.model import apply_noise
+from eld_tpu.noise.params import NoiseParams
+from eld_tpu.ops.metrics import psnr
+from eld_tpu.train import create_train_state, make_train_step
+
+
+def make_scenes(rng, n, size=512):
+    """Piecewise-smooth color fields + soft disks — enough structure for a
+    denoiser to exploit, cheap to generate."""
+    yy, xx = onp.mgrid[0:size, 0:size].astype(onp.float32) / size
+    out = onp.empty((n, size, size, 4), onp.float32)
+    for i in range(n):
+        base = (rng.random(4)[None, None] * 0.5
+                + yy[..., None] * (rng.random(4)[None, None] - 0.5) * 0.6
+                + xx[..., None] * (rng.random(4)[None, None] - 0.5) * 0.6)
+        for _ in range(6):
+            cy, cx = rng.random(2)
+            r = 0.05 + 0.2 * rng.random()
+            amp = (rng.random(4)[None, None] - 0.5) * 0.8
+            mask = onp.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / r**2))
+            base = base + mask[..., None] * amp
+        out[i] = onp.clip(base, 0.02, 0.98)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", type=str, default="unet")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--n_train", type=int, default=48)
+    p.add_argument("--noise", type=str, default="eld")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--seed", type=int, default=0)
+    ns = p.parse_args(argv)
+
+    rng = onp.random.default_rng(ns.seed)
+    train_clean = jnp.asarray(make_scenes(rng, ns.n_train, ns.size))
+    holdout = jnp.asarray(make_scenes(onp.random.default_rng(777), 4, ns.size))
+
+    bank = load_camera_params(include=4)
+    model = build_arch(ns.arch, 4, 4, dtype=jnp.bfloat16)
+    state = create_train_state(model, jax.random.PRNGKey(ns.seed),
+                               (1, ns.size, ns.size, 4), lr=ns.lr)
+    step = make_train_step(model, noise_model=ns.noise, bank=bank)
+
+    @jax.jit
+    def pick(key):
+        idx = jax.random.choice(key, ns.n_train, (ns.batch,))
+        return train_clean[idx]
+
+    base = jax.random.PRNGKey(ns.seed + 1)
+    t0 = time.perf_counter()
+    for i in range(ns.steps):
+        k = jax.random.fold_in(base, i)
+        state, m = step(state, {"clean": pick(k)}, k)
+        if i % 100 == 0:
+            print(f"step {i}: loss {float(m['Pixel']):.4f}", file=sys.stderr)
+    jax.block_until_ready(m["Pixel"])
+    train_time = time.perf_counter() - t0
+
+    # held-out denoising gain at fixed mid/heavy ELD-like levels
+    fwd = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
+    gains = {}
+    for tag, (K, g) in {"mid": (4.0, 8.0), "heavy": (10.0, 20.0)}.items():
+        np_ = NoiseParams(
+            K=jnp.float32(K), g_scale=jnp.float32(g), G_scale=jnp.float32(g / 2),
+            G_shape=jnp.float32(0.09), R_scale=jnp.float32(2.0),
+            color_bias=jnp.zeros(4), saturation_level=jnp.float32(15583.0),
+            ratio=jnp.float32(200.0))
+        gs, npsnr, dpsnr = [], [], []
+        for i in range(holdout.shape[0]):
+            noisy = jnp.clip(apply_noise(jax.random.PRNGKey(9000 + i),
+                                         holdout[i], np_, "PGrq"), 0, 1)
+            den = jnp.clip(fwd(state.params, noisy[None])[0], 0, 1)
+            npsnr.append(float(psnr(noisy, holdout[i], 1.0)))
+            dpsnr.append(float(psnr(den, holdout[i], 1.0)))
+            gs.append(dpsnr[-1] - npsnr[-1])
+        gains[tag] = {"noisy_psnr": round(onp.mean(npsnr), 2),
+                      "denoised_psnr": round(onp.mean(dpsnr), 2),
+                      "gain_db": round(onp.mean(gs), 2)}
+
+    result = {
+        "arch": ns.arch, "steps": ns.steps,
+        "train_patches_per_sec": round(ns.steps * ns.batch / train_time, 1),
+        "final_loss": round(float(m["Pixel"]), 4),
+        **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,17 @@ class Engine:
                 k_mode=cfg.k_mode,
                 mesh=self._step_mesh,
             )
-        self._fwd = make_eval_forward(self.model, chop=cfg.chop)
+        if self.mesh.shape["spatial"] > 1:
+            # full-frame eval sharded over the spatial axis (halo windows)
+            from eld_tpu.parallel.spatial import make_spatial_forward
+
+            def _spatial_fwd(params, x):
+                apply_fn = lambda t: self.model.apply({"params": params}, t)
+                return make_spatial_forward(apply_fn, self.mesh)(x)
+
+            self._fwd = _spatial_fwd
+        else:
+            self._fwd = make_eval_forward(self.model, chop=cfg.chop)
 
         os.makedirs(cfg.save_dir, exist_ok=True)
         if not cfg.no_log:

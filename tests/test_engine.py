@@ -180,3 +180,17 @@ def test_resume_is_bit_deterministic(tmp_path, clean_store):
     for x, y in zip(jax.tree_util.tree_leaves(a.state.params),
                     jax.tree_util.tree_leaves(b2.state.params)):
         onp.testing.assert_array_equal(onp.asarray(x), onp.asarray(y))
+
+
+def test_engine_spatial_eval(tmp_path, clean_store, rng):
+    """Eval with the spatial mesh axis active (full-frame halo sharding)."""
+    cfg = small_cfg(tmp_path, is_train=False, mesh_data=2, mesh_spatial=4,
+                    batch_size=1)
+    engine = Engine(cfg)
+    item = {
+        "input": rng.random((128, 64, 4), dtype=onp.float32),
+        "target": rng.random((128, 64, 4), dtype=onp.float32),
+        "fn": "synthetic",
+    }
+    res = engine.eval_one(item, correct=True, crop=False)
+    assert onp.isfinite(res["PSNR"])
