@@ -9,7 +9,8 @@ H-slab plus an overlap window, and keeps only its own rows — the
 Window semantics match the chop protocol exactly: windows are clamped at
 the true frame borders (border devices see the real image edge, as chop's
 corner-anchored tiles do), and the overlap (``halo``) is rounded up to the
-network's 16-px alignment with the same >= 10 px minimum.
+network's alignment with the same >= 10 px minimum.  Heights that don't
+divide the shard grid are edge-padded and cropped back.
 
 Memory math: only the *input* frame is gathered per device (a few tens of
 MB); the expensive intermediate activations (~100x larger) stay sharded.
@@ -19,60 +20,65 @@ The all-gather rides ICI; XLA inserts it from the shard_map spec.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import PartitionSpec as P
 from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from eld_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
 
-def spatial_halo(h_local: int, base: int = 16, min_shave: int = 10) -> int:
-    """Overlap size: >= min_shave, rounded so windows stay base-aligned
+def spatial_halo(base: int = 16, min_shave: int = 10) -> int:
+    """Overlap size: >= min_shave, rounded up to the network alignment
     (same arithmetic as the chop shave, ELD_model.py:438-442)."""
-    shave = math.ceil(min_shave / base) * base
-    return shave
+    return math.ceil(min_shave / base) * base
 
 
 def make_spatial_forward(apply_fn, mesh, halo: int | None = None, base: int = 16):
     """Build a jitted forward that shards H over the ``spatial`` mesh axis.
 
-    apply_fn: (N, H', W, C) -> (N, H', W, C') pure function (e.g. a bound
-    model apply). Returns fn(x) for x: (N, H, W, C) with H % (base*s) == 0.
+    apply_fn: (params, (N, H', W, C)) -> (N, H', W, C') pure function.
+    Returns fn(params, x) for x: (N, H, W, C); jit-cached once — reuse the
+    returned function across calls.  ``base`` must be the network's
+    spatial alignment (e.g. ``model.alignment()``).
     """
     s = mesh.shape[SPATIAL_AXIS]
-    halo = spatial_halo(base) if halo is None else halo
-
     d = mesh.shape[DATA_AXIS]
+    halo = spatial_halo(base) if halo is None else halo
+    quantum = s * base
 
-    def sharded(x):
+    def sharded(params, x):
         n, h, w, c = x.shape
-        if h % (s * base) != 0:
-            raise ValueError(f"H={h} must be divisible by spatial size*{base}")
+        # edge-pad H up to the shard grid and W up to the net alignment
+        # (cropped back below) — real SID/ELD frame dims (e.g. 1424x2128)
+        # don't generally divide spatial*base
+        hp = -(-h // quantum) * quantum
+        wp = -(-w // base) * base
+        if hp != h or wp != w:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        slab = hp // s
+        win = min(hp, slab + 2 * halo)
+
         # batch rides the data axis when it divides it; otherwise (the
         # common full-frame batch-1 eval) it is replicated across data.
         batch_axis = DATA_AXIS if n % d == 0 else None
-        slab = h // s
-        win = min(h, slab + 2 * halo)
 
-        def local(x_full):
-            # x_full: full (N, H, W, C) on every spatial member (gathered
-            # by the in_spec P() below), slab selection is local.
+        def local(params_l, x_full):
             i = lax.axis_index(SPATIAL_AXIS)
-            start = jnp.clip(i * slab - halo, 0, h - win)
+            start = jnp.clip(i * slab - halo, 0, hp - win)
             window = lax.dynamic_slice_in_dim(x_full, start, win, axis=1)
-            out = apply_fn(window)
+            out = apply_fn(params_l, window)
             offset = i * slab - start
             return lax.dynamic_slice_in_dim(out, offset, slab, axis=1)
 
-        return shard_map(
+        out = shard_map(
             local,
             mesh=mesh,
-            in_specs=P(batch_axis, None, None, None),
+            in_specs=(P(), P(batch_axis, None, None, None)),
             out_specs=P(batch_axis, SPATIAL_AXIS, None, None),
-        )(x)
+        )(params, x)
+        return out[:, :h, :w]
 
     return jax.jit(sharded)

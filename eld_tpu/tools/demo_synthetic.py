@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as onp
 
 from eld_tpu.models import build_arch
-from eld_tpu.noise import load_camera_params, sample_params_batch
+from eld_tpu.noise import load_camera_params
 from eld_tpu.noise.model import apply_noise
 from eld_tpu.noise.params import NoiseParams
 from eld_tpu.ops.metrics import psnr
@@ -79,14 +79,23 @@ def main(argv=None):
         return train_clean[idx]
 
     base = jax.random.PRNGKey(ns.seed + 1)
+
+    def run_step(i, state):
+        k_pick, k_step = jax.random.split(jax.random.fold_in(base, i))
+        return step(state, {"clean": pick(k_pick)}, k_step)
+
+    # warm up (compile) outside the timed region, like bench.py
+    m = {"Pixel": 0.0}
+    if ns.steps > 0:
+        state, m = run_step(0, state)
+        jax.block_until_ready(m["Pixel"])
     t0 = time.perf_counter()
-    for i in range(ns.steps):
-        k = jax.random.fold_in(base, i)
-        state, m = step(state, {"clean": pick(k)}, k)
+    for i in range(1, ns.steps):
+        state, m = run_step(i, state)
         if i % 100 == 0:
             print(f"step {i}: loss {float(m['Pixel']):.4f}", file=sys.stderr)
     jax.block_until_ready(m["Pixel"])
-    train_time = time.perf_counter() - t0
+    train_time = max(time.perf_counter() - t0, 1e-9)
 
     # held-out denoising gain at fixed mid/heavy ELD-like levels
     fwd = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
@@ -111,7 +120,7 @@ def main(argv=None):
 
     result = {
         "arch": ns.arch, "steps": ns.steps,
-        "train_patches_per_sec": round(ns.steps * ns.batch / train_time, 1),
+        "train_patches_per_sec": round(max(ns.steps - 1, 0) * ns.batch / train_time, 1),
         "final_loss": round(float(m["Pixel"]), 4),
         **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},
     }

@@ -103,14 +103,15 @@ class Engine:
                 mesh=self._step_mesh,
             )
         if self.mesh.shape["spatial"] > 1:
-            # full-frame eval sharded over the spatial axis (halo windows)
+            # full-frame eval sharded over the spatial axis (halo windows);
+            # built ONCE — the returned fn is jit-cached across items
             from eld_tpu.parallel.spatial import make_spatial_forward
 
-            def _spatial_fwd(params, x):
-                apply_fn = lambda t: self.model.apply({"params": params}, t)
-                return make_spatial_forward(apply_fn, self.mesh)(x)
-
-            self._fwd = _spatial_fwd
+            self._fwd = make_spatial_forward(
+                lambda p, t: self.model.apply({"params": p}, t),
+                self.mesh,
+                base=self.model.alignment(),
+            )
         else:
             self._fwd = make_eval_forward(self.model, chop=cfg.chop)
 

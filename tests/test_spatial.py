@@ -21,8 +21,8 @@ def test_spatial_matches_local_op(rng):
         return jax.lax.conv_general_dilated(
             t, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    fn = make_spatial_forward(conv, mesh, halo=16)
-    got = onp.asarray(fn(x))
+    fn = make_spatial_forward(lambda p, t: conv(t), mesh, halo=16)
+    got = onp.asarray(fn(None, x))
     want = onp.asarray(conv(x))
     onp.testing.assert_allclose(got, want, atol=1e-5)
 
@@ -33,18 +33,21 @@ def test_spatial_unet_runs(rng):
     model = build_arch("unet", 4, 4, base_width=4)
     x = jnp.asarray(rng.random((1, 128, 64, 4), dtype=onp.float32))
     params = model.init(jax.random.PRNGKey(0), x[:, :32, :32])["params"]
-    apply_fn = lambda t: model.apply({"params": params}, t)
+    apply_fn = lambda p, t: model.apply({"params": p}, t)
     fn = make_spatial_forward(apply_fn, mesh, halo=16)
-    got = onp.asarray(fn(x))
-    want = onp.asarray(apply_fn(x))
+    got = onp.asarray(fn(params, x))
+    want = onp.asarray(apply_fn(params, x))
     assert got.shape == want.shape
     # same acceptance criterion as the reference's chop protocol: overlap
     # tiling approximates the monolithic forward closely
     assert onp.abs(got - want).mean() < 1e-3
 
 
-def test_spatial_rejects_misaligned():
+def test_spatial_pads_misaligned():
+    """Heights that don't divide spatial*base are edge-padded and cropped."""
     mesh = make_mesh(MeshSpec(data=1, spatial=2))
-    fn = make_spatial_forward(lambda t: t, mesh)
-    with pytest.raises(ValueError):
-        fn(jnp.zeros((1, 40, 32, 4)))
+    fn = make_spatial_forward(lambda p, t: t * 2.0, mesh)
+    x = jnp.asarray(onp.random.default_rng(0).random((1, 40, 128, 4), dtype=onp.float32))
+    out = fn(None, x)
+    assert out.shape == x.shape
+    onp.testing.assert_allclose(onp.asarray(out), onp.asarray(x) * 2.0, rtol=1e-6)
