@@ -52,12 +52,18 @@ def run(batch):
     for i in range(WARMUP):
         state, m = step(state, data, jax.random.PRNGKey(i))
     jax.block_until_ready(m["Pixel"])
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, m = step(state, data, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(m["Pixel"])
-    dt = time.perf_counter() - t0
-    return batch * STEPS / dt
+
+    def timed(offset):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, m = step(state, data, jax.random.PRNGKey(offset + i))
+        jax.block_until_ready(m["Pixel"])
+        return batch * STEPS / (time.perf_counter() - t0)
+
+    # two passes, report the slower: guards against async-timing artifacts
+    # observed under heavy host contention
+    return min(timed(100), timed(200))
 
 
 def main():

@@ -23,3 +23,16 @@ Design stance (differs from the CUDA/PyTorch reference on purpose):
 __version__ = "0.1.0"
 
 from eld_tpu import core, noise, models, ops, parallel  # noqa: F401
+
+
+def __getattr__(name):
+    # heavy top-level conveniences, imported lazily
+    if name == "Engine":
+        from eld_tpu.train.engine import Engine
+
+        return Engine
+    if name == "Config":
+        from eld_tpu.config import Config
+
+        return Config
+    raise AttributeError(f"module 'eld_tpu' has no attribute {name!r}")

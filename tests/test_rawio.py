@@ -83,3 +83,43 @@ def test_unparseable_file(tmp_path):
     bad.write_bytes(b"not a tiff at all, definitely not")
     with pytest.raises(rawio.UnsupportedRawError):
         rawio.imread(str(bad))
+
+
+def test_parser_robust_to_garbage(tmp_path, rng):
+    """The native parser must reject corrupt input cleanly, never crash."""
+    cases = {
+        "random": rng.integers(0, 256, 4096).astype(onp.uint8).tobytes(),
+        "tiny": b"II*\x00",
+        "bad_ifd_offset": b"II*\x00" + (0xFFFFFFFF).to_bytes(4, "little") + b"\x00" * 64,
+        "empty": b"",
+    }
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.dng"
+        p.write_bytes(payload)
+        with pytest.raises((rawio.UnsupportedRawError, FileNotFoundError)):
+            rawio.imread(str(p))
+
+
+def test_parser_truncated_strip(tmp_path, rng):
+    """Strip offsets beyond EOF are rejected, not read out of bounds."""
+    mosaic = rng.integers(0, 16384, (16, 16)).astype(onp.uint16)
+    data = bytearray(make_dng(mosaic))
+    truncated = bytes(data[: len(data) - mosaic.nbytes // 2])
+    p = tmp_path / "trunc.dng"
+    p.write_bytes(truncated)
+    with pytest.raises(rawio.UnsupportedRawError):
+        rawio.imread(str(p))
+
+
+def test_parser_ifd_cycle(tmp_path):
+    """A self-referencing IFD chain terminates (guard counter)."""
+    import struct
+
+    buf = bytearray(b"II*\x00")
+    buf += struct.pack("<I", 8)          # IFD0 at offset 8
+    buf += struct.pack("<H", 0)          # 0 entries
+    buf += struct.pack("<I", 8)          # next IFD -> itself (cycle)
+    p = tmp_path / "cycle.dng"
+    p.write_bytes(bytes(buf))
+    with pytest.raises(rawio.UnsupportedRawError):
+        rawio.imread(str(p))
