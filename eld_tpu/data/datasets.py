@@ -235,20 +235,30 @@ class ELDTrainDataset(Dataset):
 
 class CleanPatchDataset(Dataset):
     """The TPU-native training source: clean patches only; noise is
-    synthesized on device inside the train step.  Optional augmentation."""
+    synthesized on device inside the train step.  Optional augmentation.
 
-    def __init__(self, store, size=None, repeat=1, augment=True, rng=None):
+    ``device_normalize=True`` ships raw uint16 records to the device and
+    lets the train step normalize there — halves host->device traffic
+    (flips/transposes commute with the scalar normalization)."""
+
+    def __init__(self, store, size=None, repeat=1, augment=True, rng=None,
+                 device_normalize=False):
         self.store = store
         self.size = size
         self.repeat = repeat
         self.augment = augment
         self.rng = rng or onp.random.default_rng()
+        self.device_normalize = device_normalize
 
     def __getitem__(self, i):
-        x = self.store[i % (self.size or len(self.store))]
+        idx = i % (self.size or len(self.store))
+        if self.device_normalize:
+            x = self.store.record(idx)
+        else:
+            x = self.store[idx]
         if self.augment:
             (x,) = _augment(self.rng, x)
-        return {"clean": onp.ascontiguousarray(x, onp.float32)}
+        return {"clean": onp.ascontiguousarray(x)}
 
     def __len__(self):
         return int((self.size or len(self.store)) * self.repeat)

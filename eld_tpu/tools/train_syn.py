@@ -57,7 +57,8 @@ def main(argv=None, extra=None):
     else:
         store = PatchStore(join(ns.traindir, "SID_Sony_Raw.eps"),
                            size=cfg.max_dataset_size)
-        train_ds = CleanPatchDataset(store)
+        # raw uint16 to the device; normalization happens in the train step
+        train_ds = CleanPatchDataset(store, device_normalize=True)
 
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
                           num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)

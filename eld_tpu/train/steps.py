@@ -102,16 +102,26 @@ def make_train_step(
             check_vma=False,
         )(seed, clean, nparams)
 
+    def _to_f32(x):
+        """Accept uint16/uint8 batches (halves/quarters host->device traffic;
+        see CleanPatchDataset(device_normalize=True)) — normalization runs
+        on device with the same reciprocal constants as PatchStore."""
+        if x.dtype == jnp.uint16:
+            return x.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+        if x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        return x
+
     def step(state, batch, key):
         if synthetic:
-            clean = batch["clean"]
+            clean = _to_f32(batch["clean"])
             k_params, k_apply = jax.random.split(key)
             nparams = sample_params_batch(k_params, bank, clean.shape[0], k_mode=k_mode)
             noisy = _synthesize(k_apply, clean, nparams)
             target = clean
         else:
-            noisy = batch["input"]
-            target = batch["target"]
+            noisy = _to_f32(batch["input"])
+            target = _to_f32(batch["target"])
 
         def loss_fn(params):
             pred = model.apply({"params": params}, noisy)

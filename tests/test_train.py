@@ -88,3 +88,35 @@ def test_eval_forward_with_chop(small_model, rng):
     x = jnp.asarray(rng.random((1, 96, 96, 4), dtype=onp.float32))
     out = fwd(state.params, x)
     assert out.shape == (1, 96, 96, 4)
+
+
+def test_u16_device_normalize_matches_f32(bank, tmp_path, rng):
+    """uint16-transfer batches train equivalently to host-normalized f32
+    batches: same input values (same reciprocal constant), identical loss;
+    gradients may differ in the last ulp from XLA fusing the in-graph
+    conversion differently."""
+    from eld_tpu.data.datasets import CleanPatchDataset
+    from eld_tpu.data.loader import Loader
+    from eld_tpu.data.patchstore import PatchStore, PatchStoreWriter
+
+    path = str(tmp_path / "s.eps")
+    with PatchStoreWriter(path, (32, 32, 4), dtype=onp.uint16) as w:
+        for _ in range(4):
+            w.append(rng.integers(0, 65536, (32, 32, 4)).astype(onp.uint16))
+    store = PatchStore(path)
+
+    model = build_arch("unet", 4, 4, base_width=4)
+    key = jax.random.PRNGKey(3)
+    outs = []
+    for device_normalize in (False, True):
+        ds = CleanPatchDataset(store, augment=False, device_normalize=device_normalize)
+        batch = next(iter(Loader(ds, batch_size=4, num_workers=0)))
+        assert batch["clean"].dtype == (onp.uint16 if device_normalize else onp.float32)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+        step = make_train_step(model, noise_model="pg", bank=bank, donate=False)
+        s, m = step(state, {"clean": jnp.asarray(batch["clean"])}, key)
+        outs.append((float(m["Pixel"]), s.params))
+    assert outs[0][0] == outs[1][0]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-6)
