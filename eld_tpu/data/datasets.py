@@ -199,7 +199,9 @@ class ISPDataset(Dataset):
         if self.noise_maker is not None:
             x = self.noise_maker(x)
         x = onp.clip(x, 0.0, 1.0)
-        x = _srgb(x, self.meta["wb"][i], self.meta["ccm"][i], self.crf)
+        # stores may virtualize length (size/repeat); wrap like they do
+        j = i % len(self.meta["wb"])
+        x = _srgb(x, self.meta["wb"][j], self.meta["ccm"][j], self.crf)
         return onp.ascontiguousarray(onp.clip(x, 0.0, 1.0), onp.float32)
 
     def __len__(self):

@@ -58,6 +58,10 @@ class Loader:
         self.shard = shard
         if batch_size % shard[1] != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by world {shard[1]}")
+        if shard[1] > 1 and not drop_last:
+            # a trailing partial batch would slice into unequal (possibly
+            # empty) per-host pieces and desynchronize the global batch
+            raise ValueError("multi-host sharding requires drop_last=True")
         self._epoch = 0
 
     def __len__(self):
@@ -99,14 +103,32 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer is gone — a
+            # blocking q.put would leak the producer thread forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(lambda j: self.dataset[int(j)], b))
-                    q.put(self.collate(items))
-            q.put(None)
+            # dataset errors must reach the consumer: a producer that dies
+            # silently leaves the train loop blocked in q.get() forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(lambda j: self.dataset[int(j)], b))
+                        if not put(self.collate(items)):
+                            return
+            except BaseException as e:  # noqa: BLE001 - re-raised consumer-side
+                put(e)
+                return
+            put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -115,6 +137,8 @@ class Loader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -7,14 +7,17 @@ pattern, camera white balance, the ``rgb_camera_matrix``-equivalent CCM,
 and EXIF iso/exposure.
 
 Backends, tried in order:
-  1. native librawio (C++, ``native/rawio``) for TIFF-container raws with
-     uncompressed/packed mosaics (.dng and uncompressed .ARW/.NEF);
+  1. native librawio (C++, ``native/rawio``) for DNG and DNG-tagged TIFF
+     containers with uncompressed/packed mosaics (vendor raws that keep
+     black levels or pixel data in maker notes — including .ARW/.NEF —
+     are rejected with a clear error rather than mis-normalized);
   2. ``.npz`` rawpacks — a simple open format for pre-decoded raws
      (mosaic + metadata), produced by ``eld_tpu.tools.convert_raw`` on a
      machine that has LibRaw, or by tests/fixtures.
 
-Vendor-compressed payloads (e.g. Sony ARW 2.3 lossy) are reported with a
-clear error naming the pre-conversion path.
+Field conventions: ``black_level`` is in PACKED channel order (R,G1,B,G2)
+on every backend; ``ccm`` is always cam->sRGB (DNG ColorMatrix tags are
+converted via :func:`ccm_from_colormatrix`).
 """
 
 from __future__ import annotations
@@ -55,6 +58,8 @@ def _load_native():
     lib.rio_wb.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
     lib.rio_ccm.restype = ctypes.c_int
     lib.rio_ccm.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+    lib.rio_has_black.restype = ctypes.c_int
+    lib.rio_has_black.argtypes = [ctypes.c_void_p]
     lib.rio_read_raw.restype = ctypes.c_int
     lib.rio_read_raw.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16)]
     lib.rio_close.argtypes = [ctypes.c_void_p]
@@ -65,13 +70,45 @@ _LIB = _load_native()
 
 WHITE_POINT = 16383
 
+# sRGB (D65) -> XYZ primaries, the constant dcraw/LibRaw use
+_XYZ_FROM_SRGB = onp.array(
+    [[0.412453, 0.357580, 0.180423],
+     [0.212671, 0.715160, 0.072169],
+     [0.019334, 0.119193, 0.950227]], onp.float64)
+
+
+def ccm_from_colormatrix(cm: onp.ndarray) -> onp.ndarray:
+    """DNG ColorMatrix (XYZ -> camera) -> cam -> sRGB matrix.
+
+    The dcraw/LibRaw ``cam_xyz_coeff`` recipe: cam_from_srgb = CM @
+    XYZ_FROM_SRGB, rows normalized to 1 (white preservation), then
+    pseudo-inverted.  Matches the semantics of the customized rawpy's
+    ``rgb_camera_matrix`` the reference consumes (util/process.py:90)."""
+    cam_from_srgb = onp.asarray(cm, onp.float64) @ _XYZ_FROM_SRGB
+    rows = cam_from_srgb.sum(axis=1, keepdims=True)
+    rows[rows == 0] = 1.0
+    cam_from_srgb = cam_from_srgb / rows
+    return onp.linalg.pinv(cam_from_srgb).astype(onp.float32)
+
+
+def _pattern_offsets(pattern: onp.ndarray):
+    """(row, col) of R, G1, B, G2 inside the 2x2 CFA cell."""
+    out = []
+    for code in (0, 1, 2, 3):
+        pos = onp.argwhere(pattern == code)
+        if len(pos) == 0:  # some files use 1 for both greens
+            greens = onp.argwhere(pattern == 1)
+            pos = greens[1:2] if code == 3 and len(greens) > 1 else pos
+        out.append(tuple(int(v) for v in pos[0]))
+    return tuple(out)
+
 
 @dataclass
 class RawFile:
     """Decoded raw: mosaic + the metadata the pipeline consumes."""
 
     mosaic: onp.ndarray            # (H, W) uint16 visible area
-    black_level: onp.ndarray       # (4,) per channel (CFA cell order)
+    black_level: onp.ndarray       # (4,) in PACKED channel order (R,G1,B,G2)
     white_level: float
     cfa_pattern: onp.ndarray       # (2, 2) codes 0=R 1=G 2=B 3=G2
     wb: onp.ndarray                # (4,) RGBG camera white balance gains
@@ -84,15 +121,7 @@ class RawFile:
         """(row, col) of R, G1, B, G2 inside the 2x2 CFA cell — the
         pack order contract (reference ``pack_raw_bayer``,
         ``dataset/sid_dataset.py:175-189``)."""
-        pat = self.cfa_pattern
-        out = []
-        for code in (0, 1, 2, 3):
-            pos = onp.argwhere(pat == code)
-            if len(pos) == 0:  # some files use 1 for both greens
-                greens = onp.argwhere(pat == 1)
-                pos = greens[1:2] if code == 3 and len(greens) > 1 else pos
-            out.append(tuple(int(v) for v in pos[0]))
-        return tuple(out)
+        return _pattern_offsets(self.cfa_pattern)
 
     def packed(self) -> onp.ndarray:
         """Black/white-normalized packed planes in [0,1], channels-last —
@@ -128,22 +157,38 @@ def _open_native(path: str) -> RawFile:
                 "'dnglab convert' / Adobe DNG Converter with compression off)")
         if rc != 0:
             raise UnsupportedRawError(f"{path}: raw decode failed (rc={rc})")
-        black = (ctypes.c_double * 4)()
-        _LIB.rio_black_level(h, black)
+        if not _LIB.rio_has_black(h):
+            raise UnsupportedRawError(
+                f"{path}: no DNG BlackLevel tag — vendor raws store levels in "
+                "maker notes this decoder does not parse; convert to DNG first "
+                "(eld_tpu.tools.convert_raw)")
+        black_cells = (ctypes.c_double * 4)()
+        _LIB.rio_black_level(h, black_cells)
         cfa = (ctypes.c_uint8 * 4)()
         _LIB.rio_cfa_pattern(h, cfa)
+        pattern = onp.asarray(cfa, onp.uint8).reshape(2, 2)
+        # DNG BlackLevel is CFA-cell row-major; remap to packed channel
+        # order (R, G1, B, G2) via the pattern
+        cells = onp.asarray(black_cells, onp.float64).reshape(2, 2)
+        black = onp.empty(4, onp.float32)
+        for ch, (r0, c0) in enumerate(_pattern_offsets(pattern)):
+            black[ch] = cells[r0, c0]
         wb = (ctypes.c_double * 4)()
         _LIB.rio_wb(h, wb)
-        ccm = (ctypes.c_double * 9)()
-        _LIB.rio_ccm(h, ccm)
+        cm = (ctypes.c_double * 9)()
+        has_ccm = _LIB.rio_ccm(h, cm) == 0
+        if has_ccm:
+            ccm = ccm_from_colormatrix(onp.asarray(cm, onp.float64).reshape(3, 3))
+        else:
+            ccm = onp.eye(3, dtype=onp.float32)
         white = _LIB.rio_white_level(h) or WHITE_POINT
         return RawFile(
             mosaic=mosaic,
-            black_level=onp.asarray(black, onp.float32),
+            black_level=black,
             white_level=float(white),
-            cfa_pattern=onp.asarray(cfa, onp.uint8).reshape(2, 2),
+            cfa_pattern=pattern,
             wb=onp.asarray(wb, onp.float32),
-            ccm=onp.asarray(ccm, onp.float64).reshape(3, 3).astype(onp.float32),
+            ccm=ccm,
             iso=_LIB.rio_iso(h),
             exposure=_LIB.rio_exposure(h),
         )

@@ -66,16 +66,16 @@ class HostNoiseModel:
             p = prof[key]
             return onp.exp(rng.standard_normal() * p["sigma"] + p["slope"] * log_K + p["bias"])
 
-        iso = int(rng.integers(N_ISO))
         g_shape = onp.asarray(cp["G_shape"], onp.float32)
         cb = onp.asarray(cp["color_bias"], onp.float32)
+        iso = int(rng.integers(min(len(g_shape), cb.shape[0])))
         return {
             "K": onp.exp(log_K),
             "g_scale": scale("g_scale"),
             "G_scale": scale("G_scale"),
             "R_scale": scale("R_scale"),
-            "G_shape": float(g_shape[min(iso, len(g_shape) - 1)]),
-            "color_bias": cb[min(iso, cb.shape[0] - 1)],
+            "G_shape": float(g_shape[iso]),
+            "color_bias": cb[iso],
             "saturation_level": saturation_level,
             "ratio": rng.uniform(100, 300),
         }
@@ -115,7 +115,9 @@ class HostNoiseModel:
                 z = z + rows[..., 0:1]
         if "q" in model:
             z = z + rng.uniform(-0.5, 0.5, y.shape).astype(onp.float32)
-        if "c" in model:
-            z = z + onp.asarray(p["color_bias"][: y.shape[-1]], onp.float32).reshape(1, 1, -1)
+        if "c" in model and y.shape[-1] == 4:
+            # per-Bayer-channel bias; non-Bayer layouts skip it (same guard
+            # as the device path, model.py)
+            z = z + onp.asarray(p["color_bias"], onp.float32).reshape(1, 1, -1)
 
         return z * p["ratio"] / p["saturation_level"]

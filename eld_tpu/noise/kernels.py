@@ -124,7 +124,9 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
     if "q" in model:
         z = z + (_uniform(shape) - 0.5)
 
-    if "c" in model:
+    if "c" in model and channels == 4:
+        # per-Bayer-channel bias; non-Bayer layouts skip it (same guard as
+        # the jnp and host paths)
         c0, c1, c2, c3 = (cb_ref[img, 0], cb_ref[img, 1], cb_ref[img, 2], cb_ref[img, 3])
         bias = jnp.where(chan == 0, c0,
                          jnp.where(chan == 1, c1,
@@ -146,8 +148,9 @@ def synthesize_pallas(seed, clean, params: NoiseParams, model: str = "PGrqc",
     model = expand_model(model)
     n, h, w, c = clean.shape
     assert (w * c) % 128 == 0, f"W*C={w*c} must be lane-aligned (128)"
-    bh = min(BH, h)
-    assert h % bh == 0
+    assert h % 8 == 0, f"H={h} must be a multiple of 8"
+    # largest 8-multiple tile height that divides H (h=136 -> bh=8, not 128)
+    bh = next(d for d in range(min(BH, h), 0, -8) if h % d == 0)
 
     flat = clean.reshape(n, h, w * c)
 

@@ -63,6 +63,8 @@ class CameraParamsBank:
     R_sigma: jnp.ndarray
     g_shape: jnp.ndarray       # (C, 18) per-ISO Tukey-lambda shape values
     color_bias: jnp.ndarray    # (C, 18, 4) per-ISO per-channel bias (DN)
+    n_iso: jnp.ndarray         # (C,) number of REAL calibrated ISO settings
+                               # (rows beyond n_iso[c] are edge padding)
 
     @property
     def num_cameras(self):
@@ -95,7 +97,8 @@ def load_camera_params(
     param_dir = param_dir or _PARAM_DIR
     cols = {k: [] for k in (
         "kmin", "kmax", "g_slope", "g_bias", "g_sigma", "G_slope", "G_bias",
-        "G_sigma", "R_slope", "R_bias", "R_sigma", "g_shape", "color_bias")}
+        "G_sigma", "R_slope", "R_bias", "R_sigma", "g_shape", "color_bias",
+        "n_iso")}
     for name in names:
         raw = onp.load(os.path.join(param_dir, f"{name}_params.npy"), allow_pickle=True).item()
         prof = raw["Profile-1"]
@@ -107,12 +110,16 @@ def load_camera_params(
             cols[f"{tag}_sigma"].append(prof[key]["sigma"])
         g_shape = onp.asarray(raw["G_shape"], dtype=onp.float32)
         cb = onp.asarray(raw["color_bias"], dtype=onp.float32)
-        # Some cameras calibrate fewer/more ISO settings; normalize to N_ISO
-        # rows by edge-padding so the bank stacks (sampling stays uniform
-        # over the real settings via per-camera counts below).
+        # Some cameras calibrate fewer ISO settings (16 vs 18); edge-pad so
+        # the bank stacks, and record the real count — sampling draws
+        # iso ~ U[0, n_iso[camera]) so padding rows are never selected.
+        cols["n_iso"].append(min(len(g_shape), cb.shape[0]))
         cols["g_shape"].append(_pad_rows(g_shape[:, None], N_ISO)[:, 0])
         cols["color_bias"].append(_pad_rows(cb, N_ISO))
-    arrs = {k: jnp.asarray(onp.stack(v).astype(onp.float32)) for k, v in cols.items()}
+    arrs = {
+        k: jnp.asarray(onp.stack(v).astype(onp.int32 if k == "n_iso" else onp.float32))
+        for k, v in cols.items()
+    }
     return CameraParamsBank(**arrs)
 
 
@@ -170,7 +177,7 @@ def sample_params(
     G_scale = scale(k_G, bank.G_slope, bank.G_bias, bank.G_sigma)
     R_scale = scale(k_R, bank.R_slope, bank.R_bias, bank.R_sigma)
 
-    iso = jax.random.randint(k_iso, (), 0, N_ISO)
+    iso = jax.random.randint(k_iso, (), 0, bank.n_iso[cam])
     ratio = jax.random.uniform(k_ratio, (), minval=ratio_range[0], maxval=ratio_range[1])
 
     return NoiseParams(

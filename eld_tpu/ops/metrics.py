@@ -104,21 +104,27 @@ def compare_ncc(x, y):
 
 def local_error(correct, estimate, window_size: int, window_shift: int):
     """Scale-invariant local sum-squared error (``util/index.py:46-73``):
-    within each window the estimate may be rescaled by the optimal alpha."""
-    correct = jnp.asarray(correct, jnp.float32)
-    estimate = jnp.asarray(estimate, jnp.float32)
-    M, N, C = correct.shape
-    ssq = total = 0.0
-    for c in range(C):
-        for i in range(0, M - window_size + 1, window_shift):
-            for j in range(0, N - window_size + 1, window_shift):
-                cw = correct[i:i + window_size, j:j + window_size, c]
-                ew = estimate[i:i + window_size, j:j + window_size, c]
-                den = jnp.sum(ew * ew)
-                alpha = jnp.where(den > 1e-5, jnp.sum(cw * ew) / jnp.maximum(den, 1e-5), 0.0)
-                ssq = ssq + jnp.sum((cw - alpha * ew) ** 2)
-                total = total + jnp.sum(cw * cw)
-    return ssq / total
+    within each window the estimate may be rescaled by the optimal alpha.
+
+    Window sums are strided ``reduce_window`` reductions (one fused op per
+    statistic) rather than a Python loop per window — full frames would
+    otherwise trace tens of thousands of ops."""
+    x = jnp.asarray(correct, jnp.float32)
+    y = jnp.asarray(estimate, jnp.float32)
+
+    def wsum(a):
+        return lax.reduce_window(
+            a, 0.0, lax.add,
+            (window_size, window_size, 1), (window_shift, window_shift, 1),
+            padding="VALID")
+
+    see = wsum(y * y)   # sum(estimate^2) per window
+    sce = wsum(x * y)   # sum(correct*estimate)
+    scc = wsum(x * x)   # sum(correct^2)
+    alpha = jnp.where(see > 1e-5, sce / jnp.maximum(see, 1e-5), 0.0)
+    # sum((c - a e)^2) = scc - 2 a sce + a^2 see, per window
+    ssq = scc - 2.0 * alpha * sce + alpha * alpha * see
+    return jnp.sum(ssq) / jnp.sum(scc)
 
 
 def quality_assess_video(pred, target, data_range=255.0):

@@ -58,11 +58,12 @@ struct Raw {
   uint64_t strip_off = 0, strip_bytes = 0;
   std::vector<uint64_t> strip_offs, strip_cnts;
   uint32_t rows_per_strip = 0;
-  double black[4] = {0, 0, 0, 0};
+  double black[4] = {0, 0, 0, 0};  // CFA-cell row-major order (DNG tag order)
+  bool has_black = false;
   double white = 0;
   uint8_t cfa[4] = {0, 1, 1, 2};  // row-major 2x2, 0=R 1=G 2=B
   double wb[4] = {1, 1, 1, 1};     // R G B G gains
-  double ccm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+  double ccm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};  // DNG ColorMatrix: XYZ->cam
   bool has_ccm = false;
 };
 
@@ -235,6 +236,7 @@ int parse(Raw& r) {
       double tmp[4] = {0, 0, 0, 0};
       read_vec(r, *e, tmp, 4);
       for (int i = 0; i < 4; ++i) r.black[i] = e->count >= 4 ? tmp[i] : tmp[0];
+      r.has_black = true;
     }
     if (const Entry* e = find(ifd, 0xC61D)) r.white = read_val(r, *e, 0);
     if (const Entry* e = find(ifd, 0x828E)) {  // CFAPattern
@@ -306,9 +308,12 @@ uint32_t rio_height(void* h) { return static_cast<Raw*>(h)->height; }
 uint32_t rio_compression(void* h) { return static_cast<Raw*>(h)->compression; }
 uint32_t rio_bits(void* h) { return static_cast<Raw*>(h)->bits; }
 double rio_white_level(void* h) { return static_cast<Raw*>(h)->white; }
+// Black level in CFA-cell row-major order (the DNG tag layout); callers
+// remap to packed channel order via the CFA pattern.
 void rio_black_level(void* h, double* out) {
   std::memcpy(out, static_cast<Raw*>(h)->black, sizeof(double) * 4);
 }
+int rio_has_black(void* h) { return static_cast<Raw*>(h)->has_black ? 1 : 0; }
 void rio_cfa_pattern(void* h, uint8_t* out) {
   std::memcpy(out, static_cast<Raw*>(h)->cfa, 4);
 }

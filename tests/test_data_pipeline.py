@@ -224,3 +224,19 @@ def test_loader_set_epoch(clean_store):
     l1.set_epoch(7)
     l2.set_epoch(7)
     onp.testing.assert_array_equal(next(iter(l1))["clean"], next(iter(l2))["clean"])
+
+
+def test_loader_propagates_dataset_errors(clean_store):
+    """A dataset exception in the producer thread must surface in the
+    consumer, not hang the training loop (regression)."""
+
+    class Exploding(Dataset := CleanPatchDataset):
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("corrupt record")
+            return super().__getitem__(i)
+
+    ds = Exploding(clean_store, augment=False)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt record"):
+        list(loader)

@@ -223,3 +223,23 @@ def test_fast_poisson_mixed_rates():
     # per-rate sampling error ~ 1/sqrt(n*lam); allow 5 sigma
     tol = 5.0 / onp.sqrt(10_000 * onp.asarray(lam[0]))
     assert (rel < onp.maximum(tol, 5e-3)).all()
+
+
+def test_iso_sampling_respects_per_camera_counts():
+    """Cameras with 16 calibrated ISOs never sample the padded rows
+    (regression: padding previously 3x-oversampled the last real ISO)."""
+    bank = load_camera_params()
+    n_iso = onp.asarray(bank.n_iso)
+    assert set(n_iso.tolist()) <= {16, 18}
+    # sample many params from a 16-ISO camera; its padded G_shape rows
+    # equal row 15, so check the drawn lambdas match only rows < 16
+    cam16 = int(onp.argmin(n_iso))
+    bank1 = load_camera_params(include=cam16)
+    assert int(bank1.n_iso[0]) == 16
+    p = sample_params_batch(jax.random.PRNGKey(0), bank1, 4000)
+    shapes = onp.asarray(p.G_shape)
+    real = onp.asarray(bank1.g_shape[0][:16])
+    counts = onp.array([(shapes == v).sum() for v in onp.unique(real)])
+    # uniform over 16 settings: the most-drawn value must not be ~3x the
+    # median (it would be if padding rows were samplable)
+    assert counts.max() < onp.median(counts) * 1.8

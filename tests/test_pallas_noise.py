@@ -67,3 +67,13 @@ def test_pallas_distinct_noise_per_seed(setup):
     a = synthesize_pallas(1, clean, params, model="g")
     b = synthesize_pallas(2, clean, params, model="g")
     assert float(jnp.abs(a - b).max()) > 1e-6
+
+
+def test_pallas_tile_height_divisor():
+    """H values that are 8-multiples but not 128-multiples pick a valid
+    tile height (regression: h=136 previously hit an assert)."""
+    bank = load_camera_params()
+    params = sample_params_batch(jax.random.PRNGKey(0), bank, 1)
+    out = synthesize_pallas(0, jnp.zeros((1, 136, 32, 4)), params, model="g",
+                            interpret=pltpu.InterpretParams())
+    assert out.shape == (1, 136, 32, 4)

@@ -123,3 +123,58 @@ def test_parser_ifd_cycle(tmp_path):
     p.write_bytes(bytes(buf))
     with pytest.raises(rawio.UnsupportedRawError):
         rawio.imread(str(p))
+
+
+def test_ccm_conversion_roundtrip(rng):
+    """ColorMatrix (XYZ->cam) -> cam->sRGB inverts the dcraw recipe and
+    preserves white (cam [1,1,1] -> sRGB [1,1,1])."""
+    from eld_tpu.data.rawio import _XYZ_FROM_SRGB, ccm_from_colormatrix
+
+    cam_from_srgb = rng.random((3, 3)) + 0.1
+    cam_from_srgb /= cam_from_srgb.sum(axis=1, keepdims=True)  # rows sum 1
+    cm = cam_from_srgb @ onp.linalg.inv(_XYZ_FROM_SRGB)
+    ccm = ccm_from_colormatrix(cm)
+    onp.testing.assert_allclose(ccm, onp.linalg.inv(cam_from_srgb), rtol=1e-4)
+    onp.testing.assert_allclose(ccm @ onp.ones(3), onp.ones(3), atol=1e-4)
+
+
+def test_black_level_cell_to_channel_reorder(tmp_path, rng):
+    """DNG BlackLevel is cell-order; RawFile.black_level must be packed
+    channel order (R,G1,B,G2) — regression for the B/G2 swap."""
+    mosaic = rng.integers(1024, 16384, (16, 16)).astype(onp.uint16)
+    # RGGB: cells (0,0)=R (0,1)=G1 (1,0)=G2* (1,1)=B -> with pattern codes
+    # (0,1,1,2) greens are disambiguated by order: G1=(0,1), G2=(1,0)
+    p = tmp_path / "bl.dng"
+    p.write_bytes(make_dng(mosaic, black=(100, 200, 300, 400), cfa=(0, 1, 1, 2)))
+    raw = rawio.imread(str(p))
+    # cells row-major: R=100, G1=200, G2=300, B=400
+    onp.testing.assert_allclose(raw.black_level, [100, 200, 400, 300])
+    # packed() must subtract the right black per channel
+    packed = raw.packed()
+    want_b = onp.clip((mosaic[1::2, 1::2].astype(onp.float32) - 400) / (16383 - 400), 0, 1)
+    onp.testing.assert_allclose(packed[..., 2], want_b, rtol=1e-6)
+
+
+def test_missing_black_level_rejected(tmp_path, rng):
+    """No DNG BlackLevel tag -> clear error, not silent black=0."""
+    import struct
+
+    from tests.tiff_fixture import TiffBuilder, T_LONG, T_SHORT, long_, short
+
+    mosaic = rng.integers(0, 16384, (8, 8)).astype(onp.uint16)
+    b = TiffBuilder()
+    strip = b.put(mosaic.astype("<u2").tobytes())
+    ifd0 = b.ifd([
+        (0x0100, T_LONG, 1, long_(8)),
+        (0x0101, T_LONG, 1, long_(8)),
+        (0x0102, T_SHORT, 1, short(16)),
+        (0x0103, T_SHORT, 1, short(1)),
+        (0x0106, T_SHORT, 1, short(32803)),
+        (0x0111, T_LONG, 1, long_(strip)),
+        (0x0117, T_LONG, 1, long_(mosaic.nbytes)),
+    ])
+    b.patch_u32(4, ifd0)
+    p = tmp_path / "nolevels.dng"
+    p.write_bytes(bytes(b.buf))
+    with pytest.raises(rawio.UnsupportedRawError, match="BlackLevel"):
+        rawio.imread(str(p))
