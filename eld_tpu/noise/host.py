@@ -20,7 +20,6 @@ import numpy as onp
 from eld_tpu.noise.model import MODEL_ALIASES
 from eld_tpu.noise.params import (
     CAMERA_NAMES,
-    N_ISO,
     SATURATION_DEFAULT,
     _PARAM_DIR,
     _select,
