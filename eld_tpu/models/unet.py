@@ -30,13 +30,22 @@ Dtype = Any
 _torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-def _torch_bias_init(fan_in: int):
+def _torch_uniform_init(fan_in: int):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with an EXPLICIT fan-in.
+
+    Needed where flax's shape-derived fan-in differs from torch's: torch
+    computes fan_in from weight.size(1)*kh*kw, which for ConvTranspose2d
+    (weight (in, out, kh, kw)) is out_channels*kh*kw — flax's (kh, kw, in,
+    out) kernels would give in_channels*kh*kw."""
     bound = 1.0 / (fan_in ** 0.5)
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+_torch_bias_init = _torch_uniform_init
 
 
 def lrelu(x):
@@ -111,9 +120,9 @@ class UNetSeeInDark(nn.Module):
             width = widths[level]
             feats = nn.ConvTranspose(
                 width, (2, 2), strides=(2, 2), dtype=self.dtype,
-                kernel_init=_torch_kernel_init,
+                kernel_init=_torch_uniform_init(width * 4),  # torch fan_in = out*k*k
                 use_bias=True,
-                bias_init=_torch_bias_init(widths[level + 1] * 4),
+                bias_init=_torch_uniform_init(width * 4),
             )(feats)
             feats = jnp.concatenate([feats, skips[level]], axis=-1)
             feats = block(width, 2 * width, dtype=self.dtype, name=f"dec{level}")(feats)

@@ -12,6 +12,8 @@ Usage:
 
 from __future__ import annotations
 
+import numpy as onp
+
 from eld_tpu import config as config_mod
 from eld_tpu.data.datasets import SIDDataset
 from eld_tpu.data.loader import Loader
@@ -32,12 +34,17 @@ def main(argv=None):
 
     engine = Engine(cfg)
     crf = None
+    if cfg.crf:
+        from eld_tpu.core.emor import load_crf
+
+        crf = load_crf()
     results = {}
     for ratio, pairs in eval_pairs_by_ratio().items():
         print(f"Eval ratio {ratio}")
         ds = SIDDataset(ns.datadir, pairs, memorize=False, augment=False,
                         stage_in=cfg.stage_in, stage_out=cfg.stage_out,
-                        gt_wb=cfg.gt_wb, crf=crf)
+                        gt_wb=cfg.gt_wb, crf=crf,
+                        rng=onp.random.default_rng(cfg.seed))
         loader = Loader(ds, batch_size=1, num_workers=0)
         res = engine.eval(loader, dataset_name=f"sid_eval_{ratio}",
                           savedir=ns.savedir, correct=True, crop=True)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import sys
 from os.path import join
 
+import numpy as onp
+
 from eld_tpu import config as config_mod
 from eld_tpu.data.datasets import ELDTrainDataset, SIDDataset
 from eld_tpu.data.loader import Loader
@@ -39,7 +41,8 @@ def main(argv=None):
 
     input_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_in, cfg.crf, "input")))
     target_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_out, cfg.crf, "target")))
-    train_ds = ELDTrainDataset(target_store, [input_store])
+    train_ds = ELDTrainDataset(target_store, [input_store],
+                               rng=onp.random.default_rng(cfg.seed))
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
                           num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
 
@@ -47,19 +50,24 @@ def main(argv=None):
     try:
         pairs = eval_pairs_by_ratio()
         for ratio in (100, 300):
+            crf = None
+            if cfg.crf:
+                from eld_tpu.core.emor import load_crf
+
+                crf = load_crf()
             ds = SIDDataset(ns.evaldir, pairs[ratio], augment=False, memorize=False,
-                            stage_in=cfg.stage_in, stage_out=cfg.stage_out, gt_wb=cfg.gt_wb)
+                            stage_in=cfg.stage_in, stage_out=cfg.stage_out,
+                            gt_wb=cfg.gt_wb, crf=crf,
+                            rng=onp.random.default_rng(cfg.seed))
             eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
     except Exception as e:
         print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
 
+    from eld_tpu.tools.train_syn import lr_for_epoch
+
     engine = Engine(cfg)
-    engine.set_learning_rate(1e-4)
     while engine.epoch < ns.epochs:
-        if engine.epoch == 100:
-            engine.set_learning_rate(5e-5)
-        if engine.epoch == 180:
-            engine.set_learning_rate(1e-5)
+        engine.set_learning_rate(lr_for_epoch(engine.epoch))
         engine.train(train_loader)
         train_ds.reset()
         if engine.epoch % ns.eval_every == 0 and eval_loaders:

@@ -29,6 +29,16 @@ from eld_tpu.noise.params import CAMERA_NAMES
 from eld_tpu.train.engine import Engine
 
 
+def lr_for_epoch(epoch: int) -> float:
+    """The reference schedule (train_syn.py:99-105), stated as a function
+    of the epoch so resumed runs land on the right rate."""
+    if epoch < 100:
+        return 1e-4
+    if epoch < 180:
+        return 5e-5
+    return 1e-5
+
+
 def main(argv=None, extra=None):
     import argparse
 
@@ -45,32 +55,38 @@ def main(argv=None, extra=None):
         store = PatchStore(join(ns.traindir, "SID_Sony_SRGB_CRF.eps"
                                 if cfg.crf else "SID_Sony_SRGB.eps"),
                            size=cfg.max_dataset_size)
-        train_ds = CleanPatchDataset(store)
+        train_ds = CleanPatchDataset(store, rng=onp.random.default_rng(cfg.seed))
     elif ns.offline_noise:
-        camera = CAMERA_NAMES[cfg.include or 4]
+        camera = CAMERA_NAMES[4 if cfg.include is None else cfg.include]
         target = PatchStore(join(ns.traindir, "SID_Sony_Raw.eps"),
                             size=cfg.max_dataset_size)
         noisy = PatchStore(join(ns.traindir, f"SID_Sony_syn_Raw_{camera}.eps"),
                            size=cfg.max_dataset_size)
-        train_ds = ELDTrainDataset(target, [noisy])
+        train_ds = ELDTrainDataset(target, [noisy], rng=onp.random.default_rng(cfg.seed))
         cfg.noise = ""  # paired mode: noise already baked in
     else:
         store = PatchStore(join(ns.traindir, "SID_Sony_Raw.eps"),
                            size=cfg.max_dataset_size)
         # raw uint16 to the device; normalization happens in the train step
-        train_ds = CleanPatchDataset(store, device_normalize=True)
+        train_ds = CleanPatchDataset(store, device_normalize=True,
+                                     rng=onp.random.default_rng(cfg.seed))
 
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
                           num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
 
     crf = None
+    if cfg.crf:
+        from eld_tpu.core.emor import load_crf
+
+        crf = load_crf()
     eval_loaders = {}
     try:
         pairs = eval_pairs_by_ratio()
         for ratio in (100, 300):
             ds = SIDDataset(ns.evaldir, pairs[ratio], augment=False, memorize=False,
                             stage_in=cfg.stage_in, stage_out=cfg.stage_out,
-                            gt_wb=cfg.gt_wb, crf=crf)
+                            gt_wb=cfg.gt_wb, crf=crf,
+                            rng=onp.random.default_rng(cfg.seed))
             eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
     except Exception as e:  # eval data optional during training
         print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
@@ -79,12 +95,8 @@ def main(argv=None, extra=None):
     print(f"[i] using noise model {cfg.noise!r} (on-device)" if cfg.noise
           else "[i] paired mode (pre-baked noise)")
 
-    engine.set_learning_rate(1e-4)
     while engine.epoch < ns.epochs:
-        if engine.epoch == 100:
-            engine.set_learning_rate(5e-5)
-        if engine.epoch == 180:
-            engine.set_learning_rate(1e-5)
+        engine.set_learning_rate(lr_for_epoch(engine.epoch))
         engine.train(train_loader)
         if engine.epoch % ns.eval_every == 0 and eval_loaders:
             try:

@@ -22,7 +22,7 @@ import jax
 import numpy as onp
 import orbax.checkpoint as ocp
 
-_NUMBERED = re.compile(r"model_(\d{3})_(\d{8})\.ckpt$")
+_NUMBERED = re.compile(r"model_(\d{3,})_(\d{8,})\.ckpt$")
 
 _ASYNC = None
 

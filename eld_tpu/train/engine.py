@@ -154,21 +154,35 @@ class Engine:
             jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
         from eld_tpu.data.loader import prefetch_to_device
 
+        # host-side iteration counter: reading int(state.step) or the loss
+        # every iteration would force a device sync per step and serialize
+        # dispatch; metrics are read with a one-step delay instead
+        host_step = self.iterations
+        pending = None  # (index, metrics) of the step still in flight
+
+        def drain(i, metrics, step_idx, bs):
+            self.throughput.tick(bs)
+            meters.update({k: float(v) for k, v in metrics.items()})
+            progress(i, n, f"{meters} | {self.throughput.items_per_sec:.1f} patches/s",
+                     every=10)
+            if not cfg.no_log:
+                write_loss(self.writer, "train", meters, step_idx)
+
         for i, sharded in enumerate(prefetch_to_device(loader, self.mesh)):
             if profiling and i == min(8, n):
                 jax.profiler.stop_trace()
                 profiling = False
             # key = f(seed, iteration): resume reproduces the exact noise
             # stream the uninterrupted run would have seen
-            sub = jax.random.fold_in(self._key, self.iterations)
+            sub = jax.random.fold_in(self._key, host_step)
             self.state, metrics = self._train_step(self.state, sharded, sub)
             bs = next(iter(sharded.values())).shape[0]
-            self.throughput.tick(bs)
-            meters.update({k: float(v) for k, v in metrics.items()})
-            progress(i, n, f"{meters} | {self.throughput.items_per_sec:.1f} patches/s",
-                     every=10)
-            if not cfg.no_log:
-                write_loss(self.writer, "train", meters, self.iterations)
+            if pending is not None:
+                drain(*pending)
+            pending = (i, metrics, host_step, bs)
+            host_step += 1
+        if pending is not None:
+            drain(*pending)
 
         if profiling:
             jax.profiler.stop_trace()

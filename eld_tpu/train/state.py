@@ -81,5 +81,5 @@ def get_learning_rate(state: TrainState) -> float:
     raise AttributeError("optimizer has no injected learning_rate")
 
 
-def param_count(params) -> int:
-    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+# single-sourced in models/netutils (re-exported here for train-side callers)
+from eld_tpu.models.netutils import param_count  # noqa: E402,F401

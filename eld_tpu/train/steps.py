@@ -25,11 +25,9 @@ from eld_tpu.parallel.mesh import DATA_AXIS
 
 
 def pixel_loss(pred, target, kind: str = "l1"):
-    if kind == "l1":
-        return jnp.mean(jnp.abs(pred - target))
-    if kind == "l2":
-        return jnp.mean((pred - target) ** 2)
-    raise ValueError(f"unknown loss {kind!r}")
+    from eld_tpu.models.losses import init_loss
+
+    return init_loss(kind)(pred, target)
 
 
 def _use_pallas_noise(clean_shape) -> bool:
