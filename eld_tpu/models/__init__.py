@@ -27,6 +27,16 @@ def unet_s2d(in_channels: int = 4, out_channels: int = 4, **kw):
     return _factory(in_channels, out_channels, **kw)
 
 
+@register_arch("unet_s2d4")
+def unet_s2d4(in_channels: int = 4, out_channels: int = 4, **kw):
+    """block=4 space-to-depth variant: the speed extreme (~5.3x the stock
+    topology on v5e; quality between stock and block=2 on the synthetic
+    probe — see BASELINE.md)."""
+    from eld_tpu.models.unet_s2d import unet_s2d as _factory
+
+    return _factory(in_channels, out_channels, block=4, **kw)
+
+
 def build_arch(name: str, in_channels: int, out_channels: int, **kw):
     if name not in _ARCHS:
         raise KeyError(f"unknown arch {name!r}; have {sorted(_ARCHS)}")
