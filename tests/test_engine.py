@@ -194,3 +194,28 @@ def test_engine_spatial_eval(tmp_path, clean_store, rng):
     }
     res = engine.eval_one(item, correct=True, crop=False)
     assert onp.isfinite(res["PSNR"])
+
+
+def test_engine_test_mode(tmp_path, clean_store, rng):
+    """Inference-only pass with sRGB preview dumps (reference .test())."""
+    cfg = small_cfg(tmp_path, is_train=False)
+    engine = Engine(cfg)
+    items = [{
+        "input": rng.random((32, 32, 4), dtype=onp.float32),
+        "fn": f"frame{i}.dng",
+        "wb": onp.array([1.9, 1.0, 1.6, 1.0], onp.float32),
+        "ccm": onp.eye(3, dtype=onp.float32),
+    } for i in range(2)]
+    savedir = str(tmp_path / "test_out")
+    engine.test(items, savedir=savedir)
+    assert sorted(os.listdir(savedir)) == ["frame0", "frame1"]
+    assert os.path.exists(os.path.join(savedir, "frame0", "t.png"))
+
+
+def test_vis_data_cli(tmp_path, clean_store):
+    from eld_tpu.tools import vis_data
+
+    outdir = str(tmp_path / "vis")
+    vis_data.main(["--store", clean_store, "--outdir", outdir, "-n", "3",
+                   "--noise", "g"])
+    assert len(os.listdir(outdir)) == 3
