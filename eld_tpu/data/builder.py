@@ -81,10 +81,16 @@ def build_patch_db(
             x = onp.clip(x, 0.0, 1.0)
             if uint16:
                 x = (x * 65535).astype(onp.uint16)
+            n_before = w._count
             for p in extract_patches(x, patch, stride):
                 w.append(p, wb=wb, ccm=ccm)
+            if w._count == n_before and verbose:
+                print(f"[w] {fn}: image smaller than patch size {patch}, skipped")
             if verbose:
                 print(f"packed ({i + 1}/{len(fns)}): {fn} -> {w._count} patches total")
+        if w._count == 0:
+            raise ValueError(
+                f"no patches produced: every input is smaller than patch={patch}")
     return targetdir
 
 
@@ -94,10 +100,11 @@ def _train_long_fns(sourcedir, num_samples=None):
     return fns[:num_samples] if num_samples else fns
 
 
-def create_sony_dataset(sourcedir, destdir, num_samples=None):
+def create_sony_dataset(sourcedir, destdir, num_samples=None, patch=512, stride=512):
     """Clean long-exposure patches (reference create_sony_dataset, 232-248)."""
     return build_patch_db(_train_long_fns(sourcedir, num_samples),
-                          join(destdir, "SID_Sony_Raw.eps"))
+                          join(destdir, "SID_Sony_Raw.eps"),
+                          patch=patch, stride=stride)
 
 
 def create_sony_dataset_paired(sourcedir, destdir, num_samples=None):

@@ -22,13 +22,16 @@ def main(argv=None):
     p.add_argument("--sourcedir", type=str, default="./data/SID/Sony")
     p.add_argument("--destdir", type=str, default="./data/Train")
     p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--patch", type=int, default=512)
+    p.add_argument("--stride", type=int, default=512)
     p.add_argument("--include", type=int, default=4)
     p.add_argument("--noise", type=str, default="g")
     p.add_argument("--no-crf", dest="crf", action="store_false")
     ns = p.parse_args(argv)
 
     if ns.recipe == "clean":
-        builder.create_sony_dataset(ns.sourcedir, ns.destdir, ns.num_samples)
+        builder.create_sony_dataset(ns.sourcedir, ns.destdir, ns.num_samples,
+                                    patch=ns.patch, stride=ns.stride)
     elif ns.recipe == "paired":
         builder.create_sony_dataset_paired(ns.sourcedir, ns.destdir, ns.num_samples)
     elif ns.recipe == "srgb":

@@ -240,3 +240,31 @@ def test_loader_propagates_dataset_errors(clean_store):
     loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2)
     with pytest.raises(RuntimeError, match="corrupt record"):
         list(loader)
+
+
+def test_build_dataset_cli(tmp_path, rng):
+    """build_dataset CLI: clean recipe over a fixture SID tree."""
+    from eld_tpu.data.pairs import sid_pairs
+    from eld_tpu.tools import build_dataset
+
+    src = tmp_path / "SID"
+    (src / "long").mkdir(parents=True)
+    # the recipe reads the vendored train list; provide its first long file
+    long_fn = sorted({fn[1] for fn in sid_pairs("train")})[0]
+    mosaic = rng.integers(512, 16384, (64, 64)).astype(onp.uint16)
+    (src / "long" / long_fn).write_bytes(make_dng(mosaic))
+
+    dest = tmp_path / "Train"
+    dest.mkdir()
+    build_dataset.main(["clean", "--sourcedir", str(src), "--destdir", str(dest),
+                        "--num_samples", "1", "--patch", "16", "--stride", "16"])
+    store = PatchStore(str(dest / "SID_Sony_Raw.eps"))
+    assert len(store) == 4  # 32x32 packed -> four 16x16 patches
+    assert store.shape == (16, 16, 4)
+
+    # all-inputs-too-small must fail loudly, not write an empty store
+    dest2 = tmp_path / "Train2"
+    dest2.mkdir()
+    with pytest.raises(ValueError, match="no patches"):
+        build_dataset.main(["clean", "--sourcedir", str(src), "--destdir",
+                            str(dest2), "--num_samples", "1"])
