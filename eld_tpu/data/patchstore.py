@@ -206,6 +206,14 @@ class PatchStoreWriter:
             self._f.write(hdr.tobytes())
 
     def append(self, record: onp.ndarray, **aux):
+        record = onp.asarray(record)
+        if (onp.issubdtype(record.dtype, onp.floating)
+                and not onp.issubdtype(self.dtype, onp.floating)):
+            # Symmetric with the read side (uint16 -> float32 / 65535):
+            # accept floats in [0, 1] and quantize, instead of silently
+            # truncating 0.x to 0 via the integer cast.
+            scale = onp.iinfo(self.dtype).max
+            record = onp.clip(onp.rint(record * scale), 0, scale)
         record = onp.ascontiguousarray(record, dtype=self.dtype)
         assert record.shape == self.shape, (record.shape, self.shape)
         if self._wh is not None:

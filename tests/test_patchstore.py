@@ -35,6 +35,18 @@ def test_roundtrip_uint16(tmp_path):
         onp.testing.assert_allclose(store[i], rec.astype(onp.float32) / 65535, atol=1e-6)
 
 
+def test_float_append_to_uint16_quantizes(tmp_path):
+    """Float [0,1] records written to a uint16 store round-trip through the
+    read side's /65535 normalization instead of truncating to zero."""
+    path = str(tmp_path / "db.eps")
+    rng = onp.random.default_rng(3)
+    rec = rng.random((16, 16, 4), dtype=onp.float32)
+    with PatchStoreWriter(path, (16, 16, 4), dtype=onp.uint16) as w:
+        w.append(rec)
+    store = PatchStore(path)
+    onp.testing.assert_allclose(store[0], rec, atol=0.5 / 65535)
+
+
 def test_roundtrip_float32(tmp_path):
     path, recs = make_store(tmp_path, dtype=onp.float32)
     store = PatchStore(path)
