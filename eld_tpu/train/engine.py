@@ -26,7 +26,7 @@ from eld_tpu.core import isp, emor
 from eld_tpu.core.packing import crop_center
 from eld_tpu.models import build_arch
 from eld_tpu.noise import load_camera_params
-from eld_tpu.ops.correct import illuminance_correct
+from eld_tpu.ops.correct import illuminance_correct_batch
 from eld_tpu.ops.metrics import quality_assess
 from eld_tpu.parallel import make_mesh, MeshSpec
 from eld_tpu.train import checkpoints as ckpt
@@ -197,15 +197,27 @@ class Engine:
 
     # ---- evaluation ----
     def _to_srgb(self, x4, wb, ccm):
-        """(N,H,W,4) raw -> (N,H,W,3) sRGB with per-item wb/ccm."""
-        wb = jnp.asarray(wb, jnp.float32).reshape(1, -1)
+        """(N,H,W,4) raw -> (N,H,W,3) sRGB with shared or per-item wb/ccm."""
+        n = x4.shape[0]
+        wb = jnp.atleast_2d(jnp.asarray(wb, jnp.float32))
         wb = wb / wb[:, 1:2]
-        ccm = jnp.asarray(ccm, jnp.float32).reshape(1, 3, 3)
+        ccm = jnp.asarray(ccm, jnp.float32).reshape(-1, 3, 3)
+        if wb.shape[0] == 1 and n != 1:
+            wb = jnp.broadcast_to(wb, (n,) + wb.shape[1:])
+        if ccm.shape[0] == 1 and n != 1:
+            ccm = jnp.broadcast_to(ccm, (n, 3, 3))
         return isp.process(x4, wb, ccm, crf=self.crf)
 
     def eval_one(self, item: dict, correct: bool = True, crop: bool = True,
                  savedir: Optional[str] = None, suffix: Optional[str] = None):
-        """Evaluate one {input, target, ...} item; returns {PSNR, SSIM}."""
+        """Evaluate one {input, target, ...} item.
+
+        Returns {PSNR, SSIM} averaged over the batch dimension, plus the
+        reference's input-vs-target metrics (``ELD_model.py:247``) as
+        PSNR_in/SSIM_in.  Every batch item is corrected and scored
+        individually (the reference's corrector loops the batch,
+        ``ELD_model.py:143-154``).
+        """
         cfg = self.cfg
         inp = jnp.asarray(item["input"])
         tgt = jnp.asarray(item["target"])
@@ -217,7 +229,7 @@ class Engine:
 
         out = self._fwd(self.state.params, inp)
         if correct:
-            out = illuminance_correct(out[0], tgt[0])[None]
+            out = illuminance_correct_batch(out, tgt)
 
         if cfg.stage_out == "raw" and cfg.stage_eval == "srgb":
             wb, ccm = item["wb"], item["ccm"]
@@ -227,12 +239,18 @@ class Engine:
         else:
             tgt_m, inp_m = tgt, inp
 
-        to_im = lambda t: onp.clip(onp.asarray(t[0], onp.float32) * 255.0, 0, 255)
+        to_im = lambda t: onp.clip(onp.asarray(t, onp.float32) * 255.0, 0, 255)
         out_im, tgt_im, inp_im = to_im(out), to_im(tgt_m), to_im(inp_m)
-        res = quality_assess(out_im, tgt_im, data_range=255)
+        per = [quality_assess(out_im[i], tgt_im[i], data_range=255)
+               for i in range(out_im.shape[0])]
+        per_in = [quality_assess(inp_im[i], tgt_im[i], data_range=255)
+                  for i in range(out_im.shape[0])]
+        res = {k: float(onp.mean([p[k] for p in per])) for k in per[0]}
+        res.update({f"{k}_in": float(onp.mean([p[k] for p in per_in]))
+                    for k in per_in[0]})
 
         if savedir is not None:
-            self._dump_pngs(savedir, item, out_im, tgt_im, inp_im, res, suffix)
+            self._dump_pngs(savedir, item, out_im[0], tgt_im[0], inp_im[0], res, suffix)
         return res
 
     def _dump_pngs(self, savedir, item, out_im, tgt_im, inp_im, res, suffix):
@@ -243,7 +261,10 @@ class Engine:
         os.makedirs(d, exist_ok=True)
         tag = f"_{suffix}" if suffix else ""
         save_png(os.path.join(d, f"{self.cfg.run_name}_{res['PSNR']:.2f}{tag}.png"), out_im)
-        save_png(os.path.join(d, f"m_input{tag}.png"), inp_im)
+        # reference naming: input carries its own vs-target PSNR when no
+        # suffix is given (ELD_model.py:300)
+        in_name = f"m_input{tag}.png" if suffix else f"m_input_{res['PSNR_in']:.2f}.png"
+        save_png(os.path.join(d, in_name), inp_im)
         save_png(os.path.join(d, "t_label.png"), tgt_im)
 
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,

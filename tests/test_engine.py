@@ -50,7 +50,21 @@ def test_engine_train_eval_cycle(tmp_path, clean_store, rng):
         "fn": "synthetic",
     }
     res = engine.eval_one(item, correct=True, crop=False)
-    assert set(res) == {"PSNR", "SSIM"}
+    assert set(res) == {"PSNR", "SSIM", "PSNR_in", "SSIM_in"}
+
+
+def test_eval_batch_matches_per_item(tmp_path, clean_store, rng):
+    """Batched eval must equal per-item batch-1 eval (every batch item is
+    corrected and scored individually, like the reference's corrector loop)."""
+    cfg = small_cfg(tmp_path, is_train=False)
+    engine = Engine(cfg)
+    inp = rng.random((3, 32, 32, 4), dtype=onp.float32)
+    tgt = rng.random((3, 32, 32, 4), dtype=onp.float32)
+    batched = engine.eval_one({"input": inp, "target": tgt}, correct=True, crop=False)
+    singles = [engine.eval_one({"input": inp[i], "target": tgt[i]},
+                               correct=True, crop=False) for i in range(3)]
+    for k in batched:
+        assert batched[k] == pytest.approx(onp.mean([s[k] for s in singles]), abs=1e-4)
 
 
 def test_engine_checkpoint_roundtrip(tmp_path, clean_store):
