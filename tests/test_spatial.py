@@ -43,6 +43,32 @@ def test_spatial_unet_runs(rng):
     assert onp.abs(got - want).mean() < 1e-3
 
 
+def test_full_frame_sid_geometry(rng):
+    """Eval-path proof at the REAL SID full-frame geometry (1424x2128x4,
+    the packed Sony A7S2 frame): both scaling strategies — halo-sharded
+    spatial eval over the mesh and the 4-tile chop — run the whole frame
+    and agree with the monolithic forward (small net width; the shape,
+    padding, halo, and stitch arithmetic is width-independent)."""
+    from eld_tpu.ops.chop import forward_chop
+
+    mesh = make_mesh(MeshSpec(data=2, spatial=4))
+    model = build_arch("unet", 4, 4, base_width=4)
+    x = jnp.asarray(rng.random((1, 1424, 2128, 4), dtype=onp.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:, :32, :32])["params"]
+    apply_fn = lambda p, t: model.apply({"params": p}, t)
+
+    want = onp.asarray(apply_fn(params, x))
+
+    sharded = make_spatial_forward(apply_fn, mesh, base=model.alignment())
+    got_spatial = onp.asarray(sharded(params, x))
+    assert got_spatial.shape == want.shape
+    assert onp.abs(got_spatial - want).mean() < 1e-3
+
+    got_chop = onp.asarray(forward_chop(lambda t: apply_fn(params, t), x))
+    assert got_chop.shape == want.shape
+    assert onp.abs(got_chop - want).mean() < 1e-3
+
+
 def test_spatial_pads_misaligned():
     """Heights that don't divide spatial*base are edge-padded and cropped."""
     mesh = make_mesh(MeshSpec(data=1, spatial=2))
