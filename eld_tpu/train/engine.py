@@ -121,10 +121,25 @@ class Engine:
 
         if cfg.resume or cfg.model_path:
             self.load(cfg.model_path, cfg.resume_epoch)
+        else:
+            self._commit_to_mesh()
 
         if not cfg.no_verbose:
             print(f"[i] arch {cfg.netG}: {param_count(self.state.params):,} params, "
                   f"mesh {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+
+    def _commit_to_mesh(self):
+        """Commit the state and PRNG key to the mesh's replicated sharding
+        ONCE.  jit with in_shardings re-places uncommitted inputs on every
+        call — harmless on a direct-attached TPU, a full H2D round-trip per
+        step through a tunneled one (see steps.py)."""
+        if self._step_mesh is None:
+            return
+        from eld_tpu.parallel.mesh import replicated
+
+        repl = replicated(self.mesh)
+        self.state = jax.device_put(self.state, repl)
+        self._key = jax.device_put(self._key, repl)
 
     # ---- counters (parity: engine.py:114-128) ----
     @property
@@ -330,5 +345,6 @@ class Engine:
             )
         else:
             self.state = ckpt.restore_checkpoint(path, self.state)
+        self._commit_to_mesh()
         print(f"Resume from epoch {self.epoch}, iteration {self.iterations}")
         return path

@@ -69,12 +69,14 @@ def make_train_step(
         raise ValueError("synthetic training needs a CameraParamsBank")
 
     def _synthesize(key, clean, nparams):
-        # auto: direct Pallas under plain jit; under a real mesh default to
-        # the jnp path — the shard_map+pallas_call composition compiles
-        # pathologically slowly at production shapes (minutes at 512^2 on
-        # v5e) and the jnp path is only ~5ms/batch slower per step.
+        # auto: the fused Pallas kernel on TPU, with or without a mesh.
+        # (Round-1 gated the mesh case to jnp because shard_map+pallas_call
+        # compiled in minutes on the then-current jax; re-measured on jax
+        # 0.9.0/v5e at 512^2 batch 8 the gate is backwards: pallas-under-
+        # mesh compiles in ~12s while jnp-under-mesh takes ~116s, and the
+        # pallas step is ~20% faster.)
         use_pallas = noise_impl == "pallas" or (
-            noise_impl == "auto" and mesh is None and _use_pallas_noise(clean.shape))
+            noise_impl == "auto" and _use_pallas_noise(clean.shape))
         if not use_pallas:
             return synthesize(key, clean, nparams, model=noise_model, clip=True)
 
@@ -136,8 +138,14 @@ def make_train_step(
     batched = NamedSharding(mesh, P(DATA_AXIS))
     batch_sh = {"clean": batched} if synthetic else {"input": batched, "target": batched}
     # No donation under a mesh: buffer aliasing across pjit+shard_map blows
-    # XLA compile time up ~20x (273s vs 12s measured on v5e) for a ~190MB
-    # saving at this model size.
+    # XLA compile time up ~15x (188s vs 12s, re-measured on jax 0.9.0/v5e)
+    # for a ~190MB saving at this model size.
+    #
+    # NOTE for callers: pass inputs already committed to this mesh's
+    # shardings (prefetch_to_device does this for batches; device_put the
+    # state/key once). Uncommitted inputs get re-placed on EVERY call —
+    # harmless on a direct-attached TPU, ~2000ms/step through this rig's
+    # 25MB/s tunnel.
     return jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
