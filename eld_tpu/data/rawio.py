@@ -7,10 +7,13 @@ pattern, camera white balance, the ``rgb_camera_matrix``-equivalent CCM,
 and EXIF iso/exposure.
 
 Backends, tried in order:
-  1. native librawio (C++, ``native/rawio``) for DNG and DNG-tagged TIFF
-     containers with uncompressed/packed mosaics (vendor raws that keep
-     black levels or pixel data in maker notes — including .ARW/.NEF —
-     are rejected with a clear error rather than mis-normalized);
+  1. native librawio (C++, ``native/rawio``) for (a) DNG and DNG-tagged
+     TIFF containers with uncompressed/packed mosaics and (b) Sony
+     ARW 2.3 lossy-compressed raws — the actual SID Sony dataset format
+     (``dataset/sid_dataset.py:88``) — including Sony maker-note
+     black/WB/white/tone-curve metadata.  Other vendor-compressed raws
+     (.CR2/.NEF lossless JPEG) are rejected with a clear error rather
+     than mis-normalized;
   2. ``.npz`` rawpacks — a simple open format for pre-decoded raws
      (mosaic + metadata), produced by ``eld_tpu.tools.convert_raw`` on a
      machine that has LibRaw, or by tests/fixtures.
@@ -63,6 +66,11 @@ def _load_native():
     lib.rio_read_raw.restype = ctypes.c_int
     lib.rio_read_raw.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16)]
     lib.rio_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.rio_warnings.restype = ctypes.c_uint32
+        lib.rio_warnings.argtypes = [ctypes.c_void_p]
+    except AttributeError:  # stale .so without the symbol
+        lib.rio_warnings = None
     return lib
 
 
@@ -152,16 +160,31 @@ def _open_native(path: str) -> RawFile:
         rc = _LIB.rio_read_raw(h, mosaic.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
         if rc == RIO_E_UNSUPPORTED_COMPRESSION:
             raise UnsupportedRawError(
-                f"{path}: vendor-compressed raw (compression={comp}); convert to "
-                "uncompressed DNG first (eld_tpu.tools.convert_raw, or "
-                "'dnglab convert' / Adobe DNG Converter with compression off)")
+                f"{path}: vendor-compressed raw (compression={comp}) this "
+                "decoder does not handle (Sony ARW 2.3 IS handled natively; "
+                "CR2/NEF lossless-JPEG are not yet) — convert to uncompressed "
+                "DNG first (eld_tpu.tools.convert_raw, or 'dnglab convert' / "
+                "Adobe DNG Converter with compression off)")
         if rc != 0:
             raise UnsupportedRawError(f"{path}: raw decode failed (rc={rc})")
+        warn_bits = _LIB.rio_warnings(h) if _LIB.rio_warnings is not None else 0
+        if warn_bits:
+            import warnings as _w
+
+            msgs = []
+            if warn_bits & 1:
+                msgs.append("ARW2 tone-curve tag (0x7010) missing — using the "
+                            "default linear x4 expansion; values MAY be on a "
+                            "wrong tone scale")
+            if warn_bits & 2:
+                msgs.append("no black-level tag — defaulting to 512 (the "
+                            "Sony A7S2 value the reference hardcodes)")
+            _w.warn(f"{path}: " + "; ".join(msgs), stacklevel=3)
         if not _LIB.rio_has_black(h):
             raise UnsupportedRawError(
-                f"{path}: no DNG BlackLevel tag — vendor raws store levels in "
-                "maker notes this decoder does not parse; convert to DNG first "
-                "(eld_tpu.tools.convert_raw)")
+                f"{path}: no black-level metadata — vendor raws store levels "
+                "in maker notes this decoder does not parse for this format; "
+                "convert to DNG first (eld_tpu.tools.convert_raw)")
         black_cells = (ctypes.c_double * 4)()
         _LIB.rio_black_level(h, black_cells)
         cfa = (ctypes.c_uint8 * 4)()

@@ -7,9 +7,11 @@
 // ELD exposure ratio (dataset/sid_dataset.py:21-34, 397-401).
 //
 // Scope: the TIFF/TIFF-EP container family (.dng/.ARW/.NEF/.CR2 share it).
-// Decodes uncompressed (Compression=1) 8/16-bit mosaics and linear DNGs;
-// vendor-compressed payloads (e.g. Sony ARW 2.3) report
-// RIO_E_UNSUPPORTED_COMPRESSION so callers can gate or pre-convert to DNG.
+// Decodes uncompressed (Compression=1) 8/16-bit mosaics, linear DNGs, and
+// Sony ARW 2.3 lossy-compressed mosaics (Compression=32767, 1 byte/px —
+// the SID dataset's format; see sony_arw2 below).  Other vendor-compressed
+// payloads (CR2/NEF lossless JPEG) report RIO_E_UNSUPPORTED_COMPRESSION so
+// callers can gate or pre-convert to DNG.
 // C ABI for ctypes (eld_tpu/data/rawio.py).
 
 #include <cstdint>
@@ -65,6 +67,20 @@ struct Raw {
   double wb[4] = {1, 1, 1, 1};     // R G B G gains
   double ccm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};  // DNG ColorMatrix: XYZ->cam
   bool has_ccm = false;
+
+  // Sony ARW 2.3: tone-curve knots from maker-note tag 0x7010 (12-bit
+  // domain). The curve is DATA-DRIVEN — shipped inside each ARW file —
+  // so no unverifiable hardcoded constants are involved; absent the tag
+  // we fall back to the documented default segmentation {0,0,0,0,4095}
+  // (pure step-16 expansion) and raise a warning bit.
+  uint16_t arw_knots[4] = {0, 0, 0, 0};
+  bool has_arw_curve = false;
+  uint32_t warnings = 0;  // bit 0: ARW2 default curve; bit 1: default black
+};
+
+enum Warn {
+  RIO_W_ARW2_DEFAULT_CURVE = 1,
+  RIO_W_DEFAULT_BLACK = 2,
 };
 
 uint16_t rd16(const Raw& r, size_t off) {
@@ -176,6 +192,122 @@ void parse_exif(Raw& r, const Ifd& ifd) {
   if (const Entry* e = find(ifd, 0x829A)) r.exposure = read_val(r, *e, 0);
 }
 
+// Sony maker note (inside the EXIF IFD, tag 0x927C): a plain TIFF IFD with
+// file-absolute value offsets.  Tags (exiftool Sony::Main / the dcraw
+// parse_makernote semantics):
+//   0x7010  tone-curve knots: 4 shorts, knot = (v >> 2) & 0xfff
+//   0x7310  per-channel black level, 4 shorts in CFA-cell order (R G1 G2 B)
+//   0x7313  WB_RGGBLevels: 4 shorts (R G1 G2 B multipliers)
+//   0x787f  white level
+void parse_sony_makernote(Raw& r, size_t off) {
+  Ifd mk;
+  size_t next = 0;
+  // some bodies prefix "SONY DSC \0\0\0" (12 bytes); ARW maker notes
+  // usually start directly with the IFD entry count
+  if (!parse_ifd(r, off, &mk, &next) || mk.entries.empty() ||
+      mk.entries.size() > 2048) {
+    mk.entries.clear();
+    if (!parse_ifd(r, off + 12, &mk, &next)) return;
+  }
+  if (const Entry* e = find(mk, 0x7010)) {
+    if (e->count >= 4) {
+      for (int i = 0; i < 4; ++i)
+        r.arw_knots[i] = ((uint16_t)read_val(r, *e, i) >> 2) & 0xfff;
+      r.has_arw_curve = true;
+    }
+  }
+  if (const Entry* e = find(mk, 0x7310)) {
+    if (e->count >= 4) {
+      // CFA-cell row-major order (R G1 / G2 B for the Sony RGGB mosaic),
+      // the same convention rio_black_level documents for DNG
+      for (int i = 0; i < 4; ++i) r.black[i] = read_val(r, *e, i);
+      r.has_black = true;
+    }
+  }
+  if (const Entry* e = find(mk, 0x7313)) {
+    if (e->count >= 4) {
+      // R G1 G2 B -> packed (R, G, B, G2) multipliers
+      r.wb[0] = read_val(r, *e, 0);
+      r.wb[1] = read_val(r, *e, 1);
+      r.wb[2] = read_val(r, *e, 3);
+      r.wb[3] = read_val(r, *e, 2);
+    }
+  }
+  if (const Entry* e = find(mk, 0x787f)) {
+    double w = read_val(r, *e, 0);
+    if (w > 0) r.white = w;
+  }
+}
+
+// Sony ARW 2.3 lossy compression (the SID dataset's .ARW payload).
+// Format (public; decoder semantics documented by dcraw/LibRaw's
+// sony_arw2_load_raw and the RawDigger ARW2 analyses — implemented from
+// the format spec, not translated code):
+//   * 1 byte/pixel average; each row is `width` bytes.
+//   * 16-byte block -> 16 pixels of ONE Bayer color (columns col, col+2,
+//     ...); blocks alternate even/odd column phase across each 32-column
+//     span.
+//   * Block: 32-bit LE header = max(11) | min(11)<<11 | imax(4)<<22 |
+//     imin(4)<<26; then fourteen 7-bit deltas starting at bit 30.
+//     shift sh = smallest s in [0,4) with (0x80 << s) > max-min;
+//     pix[i] = i==imax ? max : i==imin ? min : min(0x7ff, (delta<<sh)+min).
+//   * The 11-bit values are companded; expansion runs through a
+//     piecewise-linear curve over the 12-bit domain with slopes
+//     1,2,4,8,16 between knots {0, k1..k4 (maker note 0x7010), 4095}:
+//     out14 = curve[pix << 1] >> 2.
+int decode_arw2(const Raw& r, const uint8_t* strip, uint64_t nbytes,
+                uint16_t* dst) {
+  const uint32_t w = r.width, h = r.height;
+  if (nbytes < (uint64_t)w * h) return RIO_E_FORMAT;
+
+  // build the expansion curve (16-bit range over the 12-bit domain)
+  uint16_t knots[6] = {0, 0, 0, 0, 0, 4095};
+  for (int i = 0; i < 4; ++i) knots[i + 1] = r.arw_knots[i];
+  for (int i = 1; i < 6; ++i)
+    if (knots[i] < knots[i - 1]) knots[i] = knots[i - 1];
+  std::vector<uint32_t> curve(4096);
+  curve[0] = 0;
+  for (int seg = 0; seg < 5; ++seg)
+    for (uint32_t j = knots[seg] + 1; j <= knots[seg + 1]; ++j)
+      curve[j] = curve[j - 1] + (1u << seg);
+
+  std::vector<uint8_t> rowbuf(w + 2, 0);  // +2: the bit reader's 16-bit
+                                          // loads may touch 1 byte past
+                                          // the last block (dcraw pads too)
+  for (uint32_t row = 0; row < h; ++row) {
+    std::memcpy(rowbuf.data(), strip + (uint64_t)row * w, w);
+    const uint8_t* dp = rowbuf.data();
+    uint16_t* out = dst + (uint64_t)row * w;
+    for (uint32_t col = 0; col + 30 < w; dp += 16) {
+      uint32_t val = dp[0] | dp[1] << 8 | dp[2] << 16 | (uint32_t)dp[3] << 24;
+      int maxv = val & 0x7ff;
+      int minv = (val >> 11) & 0x7ff;
+      int imax = (val >> 22) & 0xf;
+      int imin = (val >> 26) & 0xf;
+      int sh;
+      for (sh = 0; sh < 4 && (0x80 << sh) <= maxv - minv; ++sh) {}
+      int bit = 30;
+      uint16_t pix[16];
+      for (int i = 0; i < 16; ++i) {
+        if (i == imax) {
+          pix[i] = (uint16_t)maxv;
+        } else if (i == imin) {
+          pix[i] = (uint16_t)minv;
+        } else {
+          uint32_t w16 = dp[bit >> 3] | (uint32_t)dp[(bit >> 3) + 1] << 8;
+          uint32_t v = ((w16 >> (bit & 7)) & 0x7f) << sh;
+          pix[i] = (uint16_t)(v + minv > 0x7ff ? 0x7ff : v + minv);
+          bit += 7;
+        }
+      }
+      for (int i = 0; i < 16; ++i, col += 2)
+        out[col] = (uint16_t)(curve[(uint32_t)pix[i] << 1] >> 2);
+      col -= (col & 1) ? 1 : 31;
+    }
+  }
+  return RIO_OK;
+}
+
 int parse(Raw& r) {
   if (r.n < 16) return RIO_E_FORMAT;
   if (r.d[0] == 'I' && r.d[1] == 'I') r.le = true;
@@ -187,14 +319,17 @@ int parse(Raw& r) {
   gather_ifds(r, rd32(r, 4), &ifds);
   if (ifds.empty()) return RIO_E_FORMAT;
 
-  // EXIF from IFD0's ExifIFD pointer, or inline
+  // EXIF from IFD0's ExifIFD pointer, or inline; maker note via EXIF
   for (auto& ifd : ifds) {
     parse_exif(r, ifd);
     if (const Entry* e = find(ifd, 0x8769)) {
       Ifd exif;
       size_t next;
-      if (parse_ifd(r, (size_t)read_val(r, *e, 0), &exif, &next))
+      if (parse_ifd(r, (size_t)read_val(r, *e, 0), &exif, &next)) {
         parse_exif(r, exif);
+        if (const Entry* mk = find(exif, 0x927C))
+          parse_sony_makernote(r, (size_t)mk->value_off);
+      }
     }
   }
 
@@ -268,6 +403,19 @@ int parse(Raw& r) {
       r.has_ccm = true;
     }
   }
+
+  // Sony ARW 2.3 defaults where tags are absent: 14-bit white point and
+  // black 512 (the A7S2 values the reference pipeline hardcodes,
+  // dataset/sid_dataset.py:193); warn so callers can surface it.
+  if (r.compression == 32767) {
+    if (!r.has_arw_curve) r.warnings |= RIO_W_ARW2_DEFAULT_CURVE;
+    if (!r.has_black) {
+      for (int i = 0; i < 4; ++i) r.black[i] = 512.0;
+      r.has_black = true;
+      r.warnings |= RIO_W_DEFAULT_BLACK;
+    }
+    if (r.white <= 0) r.white = 16383.0;
+  }
   return RIO_OK;
 }
 
@@ -326,9 +474,23 @@ int rio_ccm(void* h, double* out) {
   return r->has_ccm ? 0 : RIO_E_NOT_FOUND;
 }
 
+// Warning bitmask: 1 = ARW2 default tone curve, 2 = default black level.
+uint32_t rio_warnings(void* h) { return static_cast<Raw*>(h)->warnings; }
+
 // Decode the mosaic into dst (height*width uint16, row major).
 int rio_read_raw(void* h, uint16_t* dst) {
   auto* r = static_cast<Raw*>(h);
+  if (r->compression == 32767) {  // Sony ARW 2.3
+    if (r->strip_offs.empty()) return RIO_E_FORMAT;
+    uint64_t off = r->strip_offs[0];
+    uint64_t nbytes = !r->strip_cnts.empty()
+                          ? r->strip_cnts[0]
+                          : (uint64_t)r->width * r->height;
+    if (off + nbytes > r->n) return RIO_E_FORMAT;
+    if (nbytes != (uint64_t)r->width * r->height)
+      return RIO_E_UNSUPPORTED_COMPRESSION;  // older ARW variants
+    return decode_arw2(*r, r->d + off, nbytes, dst);
+  }
   if (r->compression != 1) return RIO_E_UNSUPPORTED_COMPRESSION;
   if (r->bits != 16 && r->bits != 8 && r->bits != 12 && r->bits != 14)
     return RIO_E_FORMAT;

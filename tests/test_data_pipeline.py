@@ -268,3 +268,26 @@ def test_build_dataset_cli(tmp_path, rng):
     with pytest.raises(ValueError, match="no patches"):
         build_dataset.main(["clean", "--sourcedir", str(src), "--destdir",
                             str(dest2), "--num_samples", "1"])
+
+
+def test_sid_dataset_native_arw(tmp_path, rng):
+    """SIDDataset end-to-end over NATIVE-decoded Sony ARW 2.3 files — the
+    actual SID dataset format (reference reads them at sid_dataset.py:88)."""
+    from tests.arw_fixture import make_arw
+
+    (tmp_path / "short").mkdir()
+    (tmp_path / "long").mkdir()
+    pairs = []
+    for i in range(2):
+        short_fn, long_fn = f"{i:05d}_00_0.1s.ARW", f"{i:05d}_00_10s.ARW"
+        (tmp_path / "long" / long_fn).write_bytes(
+            make_arw(rng, width=64, height=64, iso=100, exposure=10)[0])
+        (tmp_path / "short" / short_fn).write_bytes(
+            make_arw(rng, width=64, height=64, iso=100, exposure=0.1)[0])
+        pairs.append((short_fn, long_fn))
+
+    ds = SIDDataset(str(tmp_path), pairs, augment=False, memorize=False)
+    item = ds[0]
+    assert item["input"].shape == (32, 32, 4)
+    assert item["target"].shape == (32, 32, 4)
+    assert 0 <= item["input"].min() and item["input"].max() <= 1

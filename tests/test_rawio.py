@@ -176,5 +176,85 @@ def test_missing_black_level_rejected(tmp_path, rng):
     b.patch_u32(4, ifd0)
     p = tmp_path / "nolevels.dng"
     p.write_bytes(bytes(b.buf))
-    with pytest.raises(rawio.UnsupportedRawError, match="BlackLevel"):
+    with pytest.raises(rawio.UnsupportedRawError, match="black-level"):
         rawio.imread(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Sony ARW 2.3 (the actual SID dataset format)
+# ---------------------------------------------------------------------------
+
+
+def test_arw2_roundtrip(tmp_path, rng):
+    """Native ARW2 decode == the independent Python twin of the format spec
+    (encoder fixture): mosaic, tone curve, black/WB/white/EXIF metadata."""
+    from tests.arw_fixture import make_arw
+
+    data, expected = make_arw(rng, width=64, height=8, iso=800, exposure=0.04)
+    path = tmp_path / "fixture.ARW"
+    path.write_bytes(data)
+    raw = rawio.imread(str(path))
+    onp.testing.assert_array_equal(raw.mosaic, expected)
+    assert raw.mosaic.shape == (8, 64)
+    # maker-note metadata: black given in packed (R,G1,B,G2) order
+    onp.testing.assert_array_equal(raw.black_level, [512, 513, 515, 514])
+    assert raw.white_level == 16383
+    onp.testing.assert_array_equal(raw.wb, [2048, 1024, 1560, 1024])
+    assert raw.iso == 800
+    assert raw.exposure == pytest.approx(0.04)
+    onp.testing.assert_array_equal(raw.cfa_pattern, [[0, 1], [1, 2]])
+
+
+def test_arw2_curve_expansion_is_applied(tmp_path, rng):
+    """Two files with identical bitstreams but different curve knots decode
+    to different values — proving the data-driven tone curve is in effect."""
+    from tests.arw_fixture import make_arw
+
+    rng_state = rng.bit_generator.state
+    a, exp_a = make_arw(rng, knots=(1000, 2000, 3000, 3600))
+    rng.bit_generator.state = rng_state
+    b, exp_b = make_arw(rng, knots=(200, 400, 800, 1600))
+    assert not onp.array_equal(exp_a, exp_b)
+    for name, data, expected in (("a.ARW", a, exp_a), ("b.ARW", b, exp_b)):
+        p = tmp_path / name
+        p.write_bytes(data)
+        onp.testing.assert_array_equal(rawio.imread(str(p)).mosaic, expected)
+
+
+def test_arw2_missing_curve_warns(tmp_path, rng):
+    from tests.arw_fixture import make_arw
+
+    data, expected = make_arw(rng, with_curve_tag=False)
+    path = tmp_path / "nocurve.ARW"
+    path.write_bytes(data)
+    with pytest.warns(UserWarning, match="tone-curve"):
+        raw = rawio.imread(str(path))
+    onp.testing.assert_array_equal(raw.mosaic, expected)
+
+
+def test_arw2_missing_black_defaults_512(tmp_path, rng):
+    from tests.arw_fixture import make_arw
+
+    data, _ = make_arw(rng, with_black_tag=False)
+    path = tmp_path / "noblack.ARW"
+    path.write_bytes(data)
+    with pytest.warns(UserWarning, match="black"):
+        raw = rawio.imread(str(path))
+    onp.testing.assert_array_equal(raw.black_level, [512, 512, 512, 512])
+
+
+def test_arw2_packed_pipeline(tmp_path, rng):
+    """End-to-end: ARW fixture -> imread -> packed() in [0,1] with the SID
+    normalization ((x - black)/(white - black), sid_dataset.py:181-194)."""
+    from tests.arw_fixture import make_arw
+
+    data, expected = make_arw(rng, width=64, height=8)
+    path = tmp_path / "pack.ARW"
+    path.write_bytes(data)
+    raw = rawio.imread(str(path))
+    packed = raw.packed()
+    assert packed.shape == (4, 32, 4)
+    assert packed.min() >= 0.0 and packed.max() <= 1.0
+    want_r = onp.clip((expected[0::2, 0::2].astype(onp.float32) - 512)
+                      / (16383 - 512), 0, 1)
+    onp.testing.assert_allclose(packed[..., 0], want_r, atol=1e-6)
