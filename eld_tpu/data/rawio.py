@@ -69,7 +69,11 @@ def _load_native():
     try:
         lib.rio_warnings.restype = ctypes.c_uint32
         lib.rio_warnings.argtypes = [ctypes.c_void_p]
-    except AttributeError:  # stale .so without the symbol
+        lib.rio_cfa_dim.restype = ctypes.c_uint32
+        lib.rio_cfa_dim.argtypes = [ctypes.c_void_p]
+        lib.rio_cfa_pattern_full.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_uint8)]
+    except AttributeError:  # stale .so without the symbols
         lib.rio_warnings = None
     return lib
 
@@ -140,7 +144,10 @@ class RawFile:
             black = self.black_level.reshape(1, 1, 4).astype(onp.float32)
             out = (out - black) / (self.white_level - black)
         else:
-            im = (self.mosaic.astype(onp.float32) - 1024.0) / (self.white_level - 1024.0)
+            # scalar black for X-Trans (the reference hardcodes 1024 for the
+            # Fuji X-T2, sid_dataset.py:202; we take the file's level)
+            b = float(self.black_level[0])
+            im = (self.mosaic.astype(onp.float32) - b) / (self.white_level - b)
             out = pack_xtrans(im)
         return onp.clip(out, 0.0, 1.0)
 
@@ -187,15 +194,26 @@ def _open_native(path: str) -> RawFile:
                 "convert to DNG first (eld_tpu.tools.convert_raw)")
         black_cells = (ctypes.c_double * 4)()
         _LIB.rio_black_level(h, black_cells)
-        cfa = (ctypes.c_uint8 * 4)()
-        _LIB.rio_cfa_pattern(h, cfa)
-        pattern = onp.asarray(cfa, onp.uint8).reshape(2, 2)
-        # DNG BlackLevel is CFA-cell row-major; remap to packed channel
-        # order (R, G1, B, G2) via the pattern
-        cells = onp.asarray(black_cells, onp.float64).reshape(2, 2)
-        black = onp.empty(4, onp.float32)
-        for ch, (r0, c0) in enumerate(_pattern_offsets(pattern)):
-            black[ch] = cells[r0, c0]
+        cfa_dim = int(_LIB.rio_cfa_dim(h)) if _LIB.rio_warnings is not None else 2
+        if cfa_dim == 6:  # X-Trans
+            full = (ctypes.c_uint8 * 36)()
+            _LIB.rio_cfa_pattern_full(h, full)
+            pattern = onp.asarray(full, onp.uint8).reshape(6, 6)
+            # the X-Trans path normalizes with a scalar black (the
+            # reference hardcodes 1024, sid_dataset.py:202)
+            black = onp.full(4, float(black_cells[0]), onp.float32)
+            kind = "xtrans"
+        else:
+            cfa = (ctypes.c_uint8 * 4)()
+            _LIB.rio_cfa_pattern(h, cfa)
+            pattern = onp.asarray(cfa, onp.uint8).reshape(2, 2)
+            # DNG BlackLevel is CFA-cell row-major; remap to packed channel
+            # order (R, G1, B, G2) via the pattern
+            cells = onp.asarray(black_cells, onp.float64).reshape(2, 2)
+            black = onp.empty(4, onp.float32)
+            for ch, (r0, c0) in enumerate(_pattern_offsets(pattern)):
+                black[ch] = cells[r0, c0]
+            kind = "bayer"
         wb = (ctypes.c_double * 4)()
         _LIB.rio_wb(h, wb)
         cm = (ctypes.c_double * 9)()
@@ -214,6 +232,7 @@ def _open_native(path: str) -> RawFile:
             ccm=ccm,
             iso=_LIB.rio_iso(h),
             exposure=_LIB.rio_exposure(h),
+            cfa=kind,
         )
     finally:
         _LIB.rio_close(h)

@@ -64,6 +64,8 @@ struct Raw {
   bool has_black = false;
   double white = 0;
   uint8_t cfa[4] = {0, 1, 1, 2};  // row-major 2x2, 0=R 1=G 2=B
+  uint8_t cfa_dim = 2;            // CFA repeat dim: 2 (Bayer) or 6 (X-Trans)
+  uint8_t cfa_full[36] = {0};     // row-major cfa_dim x cfa_dim codes
   double wb[4] = {1, 1, 1, 1};     // R G B G gains
   double ccm[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};  // DNG ColorMatrix: XYZ->cam
   bool has_ccm = false;
@@ -352,6 +354,7 @@ int parse(Raw& r) {
 
     r.width = (uint32_t)w;
     r.height = (uint32_t)h;
+    r.cfa_dim = 2;  // reset per winning frame (a losing IFD may have set 6)
     const Entry* ce = find(ifd, 0x0103);
     r.compression = ce ? (uint32_t)read_val(r, *ce, 0) : 1;
     const Entry* be = find(ifd, 0x0102);
@@ -374,10 +377,17 @@ int parse(Raw& r) {
       r.has_black = true;
     }
     if (const Entry* e = find(ifd, 0xC61D)) r.white = read_val(r, *e, 0);
+    if (const Entry* e = find(ifd, 0x828D)) {  // CFARepeatPatternDim
+      uint32_t d0 = (uint32_t)read_val(r, *e, 0);
+      if (d0 == 6 && (uint32_t)read_val(r, *e, 1) == 6) r.cfa_dim = 6;
+    }
     if (const Entry* e = find(ifd, 0x828E)) {  // CFAPattern
-      double tmp[4] = {0, 1, 1, 2};
-      read_vec(r, *e, tmp, 4);
-      for (int i = 0; i < 4; ++i) r.cfa[i] = (uint8_t)tmp[i];
+      uint32_t n = r.cfa_dim == 6 ? 36 : 4;
+      double tmp[36] = {0, 1, 1, 2};
+      read_vec(r, *e, tmp, n);
+      for (uint32_t i = 0; i < n; ++i) r.cfa_full[i] = (uint8_t)tmp[i];
+      if (r.cfa_dim == 2)
+        for (int i = 0; i < 4; ++i) r.cfa[i] = (uint8_t)tmp[i];
     }
   }
   if (!r.width) return RIO_E_NOT_FOUND;
@@ -464,6 +474,14 @@ void rio_black_level(void* h, double* out) {
 int rio_has_black(void* h) { return static_cast<Raw*>(h)->has_black ? 1 : 0; }
 void rio_cfa_pattern(void* h, uint8_t* out) {
   std::memcpy(out, static_cast<Raw*>(h)->cfa, 4);
+}
+// CFA repeat dimension: 2 (Bayer) or 6 (X-Trans).
+uint32_t rio_cfa_dim(void* h) { return static_cast<Raw*>(h)->cfa_dim; }
+// Full row-major cfa_dim x cfa_dim pattern (out must hold dim*dim bytes).
+void rio_cfa_pattern_full(void* h, uint8_t* out) {
+  auto* r = static_cast<Raw*>(h);
+  std::memcpy(out, r->cfa_dim == 6 ? r->cfa_full : r->cfa,
+              (size_t)r->cfa_dim * r->cfa_dim);
 }
 void rio_wb(void* h, double* out) {
   std::memcpy(out, static_cast<Raw*>(h)->wb, sizeof(double) * 4);

@@ -258,3 +258,61 @@ def test_arw2_packed_pipeline(tmp_path, rng):
     want_r = onp.clip((expected[0::2, 0::2].astype(onp.float32) - 512)
                       / (16383 - 512), 0, 1)
     onp.testing.assert_allclose(packed[..., 0], want_r, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# X-Trans (6x6 CFA) native ingest
+# ---------------------------------------------------------------------------
+
+# the Fuji X-Trans 6x6 layout, consistent with the reference's 9-channel
+# sampling map (noise.py:31-63 / core/packing.py)
+XTRANS_CFA = (0, 2, 1, 2, 0, 1,
+              1, 1, 0, 1, 1, 2,
+              1, 1, 2, 1, 1, 0,
+              2, 0, 1, 0, 2, 1,
+              1, 1, 2, 1, 1, 0,
+              1, 1, 0, 1, 1, 2)
+
+
+def test_xtrans_native_ingest(tmp_path, rng):
+    """A 6x6-CFA TIFF decodes to RawFile(cfa='xtrans') and packs into the
+    reference's 9-plane layout (VERDICT round-1 item 8)."""
+    from tests.tiff_fixture import make_dng
+    from eld_tpu.core.packing import pack_xtrans
+
+    mosaic = rng.integers(1024, 16384, (36, 48)).astype(onp.uint16)
+    p = tmp_path / "fuji.dng"
+    p.write_bytes(make_dng(mosaic, black=(1024,) * 4, white=16383,
+                           cfa=XTRANS_CFA))
+    raw = rawio.imread(str(p))
+    assert raw.cfa == "xtrans"
+    assert raw.cfa_pattern.shape == (6, 6)
+    onp.testing.assert_array_equal(raw.cfa_pattern.ravel(), XTRANS_CFA)
+    packed = raw.packed()
+    assert packed.shape == (12, 16, 9)
+    want = pack_xtrans(onp.clip(
+        (mosaic.astype(onp.float32) - 1024) / (16383 - 1024), 0, 1))
+    onp.testing.assert_allclose(packed, want, atol=1e-6)
+
+
+def test_xtrans_sid_dataset(tmp_path, rng):
+    """SIDDataset(cfa='xtrans') end-to-end from native-decoded fixtures
+    (reference Fuji path, sid_dataset.py:199-245)."""
+    from tests.tiff_fixture import make_dng
+    from eld_tpu.data.datasets import SIDDataset
+
+    (tmp_path / "short").mkdir()
+    (tmp_path / "long").mkdir()
+    gt = rng.integers(2048, 16384, (36, 48)).astype(onp.uint16)
+    dark = (1024 + (gt.astype(onp.float32) - 1024) / 100).astype(onp.uint16)
+    (tmp_path / "long" / "0_00_10s.dng").write_bytes(
+        make_dng(gt, black=(1024,) * 4, cfa=XTRANS_CFA, iso=100, exposure=10))
+    (tmp_path / "short" / "0_00_0.1s.dng").write_bytes(
+        make_dng(dark, black=(1024,) * 4, cfa=XTRANS_CFA, iso=100, exposure=0.1))
+    ds = SIDDataset(str(tmp_path), [("0_00_0.1s.dng", "0_00_10s.dng")],
+                    cfa="xtrans", augment=False, memorize=False)
+    item = ds[0]
+    assert item["input"].shape == (12, 16, 9)
+    assert item["target"].shape == (12, 16, 9)
+    # ratio x100 roughly cancels the /100 darkening
+    assert onp.abs(item["input"] - item["target"]).mean() < 0.03

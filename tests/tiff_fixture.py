@@ -54,7 +54,10 @@ def make_dng(mosaic: onp.ndarray, iso=1600, exposure=0.1,
              black=(512, 512, 512, 512), white=16383,
              cfa=(0, 1, 1, 2), wb_neutral=(0.5, 1.0, 0.6),
              ccm=None) -> bytes:
-    """mosaic: (H, W) uint16 -> serialized little-endian TIFF bytes."""
+    """mosaic: (H, W) uint16 -> serialized little-endian TIFF bytes.
+
+    ``cfa`` may be 4 codes (2x2 Bayer) or 36 codes (6x6 X-Trans); the
+    latter adds a CFARepeatPatternDim tag."""
     h, w = mosaic.shape
     b = TiffBuilder()
 
@@ -72,10 +75,16 @@ def make_dng(mosaic: onp.ndarray, iso=1600, exposure=0.1,
         (0x0111, T_LONG, 1, long_(strip_off)),
         (0x0116, T_LONG, 1, long_(h)),
         (0x0117, T_LONG, 1, long_(mosaic.nbytes)),
-        (0x828E, T_BYTE, 4, cfa_bytes),
         (0xC61A, T_RATIONAL, 4, black_off),       # BlackLevel
         (0xC61D, T_LONG, 1, long_(white)),        # WhiteLevel
     ]
+    if len(cfa_bytes) == 4:
+        sub_entries.append((0x828E, T_BYTE, 4, cfa_bytes))
+    else:
+        assert len(cfa_bytes) == 36
+        cfa_off = b.put(cfa_bytes)
+        sub_entries.append((0x828D, T_SHORT, 2, short(6) + short(6)))
+        sub_entries.append((0x828E, T_BYTE, 36, long_(cfa_off)))
     sub_off = b.ifd(sub_entries)
 
     exp_num, exp_den = int(exposure * 10_000), 10_000
