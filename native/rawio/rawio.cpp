@@ -78,6 +78,15 @@ struct Raw {
   uint16_t arw_knots[4] = {0, 0, 0, 0};
   bool has_arw_curve = false;
   uint32_t warnings = 0;  // bit 0: ARW2 default curve; bit 1: default black
+
+  // Canon CR2 (lossless JPEG + slicing + masked borders)
+  bool is_ljpeg = false;        // raw strip is a lossless-JPEG stream
+  uint16_t cr2_slices[3] = {0, 0, 0};  // [n, w_first_n, w_last] (tag 0xC640)
+  // sensor borders from Canon maker-note SensorInfo (tag 0x00E0):
+  // visible area = rows [top, bottom], cols [left, right] inclusive
+  uint32_t sens_left = 0, sens_top = 0, sens_right = 0, sens_bottom = 0;
+  bool has_sensor_info = false;
+  uint32_t full_width = 0, full_height = 0;  // pre-crop mosaic dims
 };
 
 enum Warn {
@@ -194,13 +203,17 @@ void parse_exif(Raw& r, const Ifd& ifd) {
   if (const Entry* e = find(ifd, 0x829A)) r.exposure = read_val(r, *e, 0);
 }
 
-// Sony maker note (inside the EXIF IFD, tag 0x927C): a plain TIFF IFD with
-// file-absolute value offsets.  Tags (exiftool Sony::Main / the dcraw
-// parse_makernote semantics):
+// Vendor maker note (inside the EXIF IFD, tag 0x927C): a plain TIFF IFD
+// with file-absolute value offsets.  The Sony and Canon tag spaces are
+// disjoint, so one opportunistic pass reads both.
+// Sony tags (exiftool Sony::Main / the dcraw parse_makernote semantics):
 //   0x7010  tone-curve knots: 4 shorts, knot = (v >> 2) & 0xfff
 //   0x7310  per-channel black level, 4 shorts in CFA-cell order (R G1 G2 B)
 //   0x7313  WB_RGGBLevels: 4 shorts (R G1 G2 B multipliers)
 //   0x787f  white level
+// Canon tags (exiftool Canon::Main):
+//   0x00e0  SensorInfo: shorts [n, width, height, _, _, left, top, right,
+//           bottom, ...] — the visible-area borders (inclusive)
 void parse_sony_makernote(Raw& r, size_t off) {
   Ifd mk;
   size_t next = 0;
@@ -239,6 +252,178 @@ void parse_sony_makernote(Raw& r, size_t off) {
     double w = read_val(r, *e, 0);
     if (w > 0) r.white = w;
   }
+  if (const Entry* e = find(mk, 0x00e0)) {  // Canon SensorInfo
+    if (e->count >= 9) {
+      r.sens_left = (uint32_t)read_val(r, *e, 5);
+      r.sens_top = (uint32_t)read_val(r, *e, 6);
+      r.sens_right = (uint32_t)read_val(r, *e, 7);
+      r.sens_bottom = (uint32_t)read_val(r, *e, 8);
+      r.has_sensor_info = r.sens_right > r.sens_left && r.sens_bottom > r.sens_top;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Lossless JPEG (ITU-T T.81 process 14, SOF3) — the entropy coding inside
+// Canon CR2 raws.  Implemented from the JPEG spec: canonical Huffman DC
+// tables select a bit-count class ssss, the difference is ssss extra bits
+// with the T.81 sign extension, and samples are DPCM-predicted (psv 1 =
+// left neighbor; first column predicts from the row above; the very first
+// sample from 1 << (precision-1)).
+// ---------------------------------------------------------------------------
+
+struct LjHuff {
+  // canonical table: code lengths histogram + values (T.81 DHT payload)
+  uint16_t min_code[17];
+  int32_t val_ptr[17];  // index into vals of first code of this length
+  uint16_t max_code[17];
+  uint8_t vals[256];
+  bool valid = false;
+
+  void build(const uint8_t counts[17], const uint8_t* values, size_t nvals) {
+    uint16_t code = 0;
+    size_t k = 0;
+    for (int len = 1; len <= 16; ++len) {
+      val_ptr[len] = (int32_t)k;
+      min_code[len] = code;
+      code = (uint16_t)(code + counts[len]);
+      max_code[len] = counts[len] ? (uint16_t)(code - 1) : 0;
+      if (!counts[len]) max_code[len] = 0, val_ptr[len] = -1;
+      k += counts[len];
+      code <<= 1;
+    }
+    for (size_t i = 0; i < nvals && i < 256; ++i) vals[i] = values[i];
+    valid = k > 0;
+  }
+};
+
+struct LjBits {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int n = 0;
+
+  void fill() {
+    while (n <= 48 && p < end) {
+      uint8_t b = *p++;
+      if (b == 0xFF) {
+        if (p < end && *p == 0x00) ++p;       // stuffed byte
+        else { p = end; b = 0; }              // a marker terminates the scan
+      }
+      acc = (acc << 8) | b;
+      n += 8;
+    }
+    if (p >= end && n <= 48) { acc <<= (56 - n); n = 56; }  // zero-pad tail
+  }
+  uint32_t get(int k) {
+    if (k == 0) return 0;
+    if (n < k) fill();
+    n -= k;
+    return (uint32_t)((acc >> n) & ((1u << k) - 1));
+  }
+  int decode(const LjHuff& h) {
+    if (n < 16) fill();
+    uint16_t code = 0;
+    for (int len = 1; len <= 16; ++len) {
+      code = (uint16_t)((code << 1) | get(1));
+      if (h.val_ptr[len] >= 0 && code >= h.min_code[len] && code <= h.max_code[len])
+        return h.vals[h.val_ptr[len] + (code - h.min_code[len])];
+    }
+    return -1;
+  }
+};
+
+static int lj_extend(uint32_t v, int ssss) {
+  // T.81 sign extension: values with MSB 0 are negative
+  return (int)v < (1 << (ssss - 1)) ? (int)v - (1 << ssss) + 1 : (int)v;
+}
+
+struct LjFrame {
+  int precision = 0, height = 0, width = 0, ncomp = 0;
+  int comp_table[4] = {0, 0, 0, 0};
+  int psv = 1;
+  size_t scan_off = 0;  // entropy data start (relative to stream)
+  LjHuff huff[4];
+};
+
+// Parse markers up to (and including) SOS.  Returns RIO_OK on success.
+int lj_parse_header(const uint8_t* d, size_t n, LjFrame* f) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) return RIO_E_FORMAT;
+  size_t p = 2;
+  while (p + 4 <= n) {
+    if (d[p] != 0xFF) return RIO_E_FORMAT;
+    uint8_t marker = d[p + 1];
+    size_t len = ((size_t)d[p + 2] << 8) | d[p + 3];
+    if (p + 2 + len > n) return RIO_E_FORMAT;
+    const uint8_t* seg = d + p + 4;
+    size_t seglen = len - 2;
+    if (marker == 0xC4) {  // DHT (possibly several tables per segment)
+      size_t q = 0;
+      while (q + 17 <= seglen) {
+        int th = seg[q] & 0x0F;
+        uint8_t counts[17] = {0};
+        size_t nv = 0;
+        for (int i = 1; i <= 16; ++i) { counts[i] = seg[q + i]; nv += counts[i]; }
+        if (q + 17 + nv > seglen || th > 3) return RIO_E_FORMAT;
+        f->huff[th].build(counts, seg + q + 17, nv);
+        q += 17 + nv;
+      }
+    } else if (marker == 0xC3) {  // SOF3: lossless
+      if (seglen < 6) return RIO_E_FORMAT;
+      f->precision = seg[0];
+      f->height = seg[1] << 8 | seg[2];
+      f->width = seg[3] << 8 | seg[4];
+      f->ncomp = seg[5];
+      if (f->ncomp < 1 || f->ncomp > 4 || seglen < 6 + 3 * (size_t)f->ncomp)
+        return RIO_E_FORMAT;
+    } else if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+               marker != 0xC8 && marker != 0xCC) {
+      return RIO_E_UNSUPPORTED_COMPRESSION;  // a non-lossless SOF
+    } else if (marker == 0xDA) {  // SOS
+      if (seglen < 1) return RIO_E_FORMAT;
+      int ns = seg[0];
+      if (seglen < 1 + 2 * (size_t)ns + 3) return RIO_E_FORMAT;
+      for (int i = 0; i < ns && i < 4; ++i)
+        f->comp_table[i] = seg[2 + 2 * i] >> 4;
+      f->psv = seg[1 + 2 * ns];  // Ss field = predictor selector
+      f->scan_off = p + 2 + len;
+      return (f->width && f->height && f->ncomp) ? RIO_OK : RIO_E_FORMAT;
+    }
+    p += 2 + len;
+  }
+  return RIO_E_FORMAT;
+}
+
+// Decode the full sample stream (h * w * ncomp values in frame raster
+// order).  Only psv 1 (the CR2 predictor) is supported.
+int lj_decode(const uint8_t* d, size_t n, const LjFrame& f,
+              std::vector<uint16_t>* out) {
+  if (f.psv != 1) return RIO_E_UNSUPPORTED_COMPRESSION;
+  const int w = f.width, h = f.height, nc = f.ncomp;
+  out->assign((size_t)w * h * nc, 0);
+  LjBits bits{d + f.scan_off, d + n};
+  uint16_t* buf = out->data();
+  for (int row = 0; row < h; ++row) {
+    for (int col = 0; col < w; ++col) {
+      for (int c = 0; c < nc; ++c) {
+        const LjHuff& hu = f.huff[f.comp_table[c]];
+        if (!hu.valid) return RIO_E_FORMAT;
+        int ssss = bits.decode(hu);
+        if (ssss < 0) return RIO_E_FORMAT;
+        int diff = ssss == 0 ? 0
+                 : ssss == 16 ? 32768
+                              : lj_extend(bits.get(ssss), ssss);
+        int pred;
+        size_t i = ((size_t)row * w + col) * nc + c;
+        if (col == 0)
+          pred = row == 0 ? (1 << (f.precision - 1)) : buf[i - (size_t)w * nc];
+        else
+          pred = buf[i - nc];
+        buf[i] = (uint16_t)(pred + diff);
+      }
+    }
+  }
+  return RIO_OK;
 }
 
 // Sony ARW 2.3 lossy compression (the SID dataset's .ARW payload).
@@ -390,6 +575,59 @@ int parse(Raw& r) {
         for (int i = 0; i < 4; ++i) r.cfa[i] = (uint8_t)tmp[i];
     }
   }
+  // Canon CR2: the raw lives in an IFD with a lossless-JPEG strip and the
+  // slice tag 0xC640, and carries NO width/height tags — dimensions come
+  // from the SOF3 header.  This takes precedence over any preview frame
+  // the generic selection above may have picked.
+  for (auto& ifd : ifds) {
+    const Entry* so = find(ifd, 0x0111);
+    const Entry* sl = find(ifd, 0xC640);
+    const Entry* ce = find(ifd, 0x0103);
+    bool old_jpeg = ce && (uint32_t)read_val(r, *ce, 0) == 6;
+    if (!so || !(sl || (old_jpeg && !find(ifd, 0x0100)))) continue;
+    size_t off = (size_t)read_val(r, *so, 0);
+    const Entry* sc = find(ifd, 0x0117);
+    uint64_t nbytes = sc ? (uint64_t)read_val(r, *sc, 0) : r.n - off;
+    if (off >= r.n || off + nbytes > r.n) continue;
+    LjFrame f;
+    if (lj_parse_header(r.d + off, nbytes, &f) != RIO_OK) continue;
+
+    r.is_ljpeg = true;
+    r.compression = 6;
+    r.bits = f.precision;
+    r.strip_offs.assign(1, off);
+    r.strip_cnts.assign(1, nbytes);
+    if (sl && sl->count >= 3)
+      for (int i = 0; i < 3; ++i) r.cr2_slices[i] = (uint16_t)read_val(r, *sl, i);
+    uint64_t total = (uint64_t)f.width * f.height * f.ncomp;
+    r.full_width = r.cr2_slices[0]
+                       ? (uint32_t)r.cr2_slices[0] * r.cr2_slices[1] + r.cr2_slices[2]
+                       : (uint32_t)f.width * f.ncomp;
+    r.full_height = r.full_width ? (uint32_t)(total / r.full_width) : 0;
+    if ((uint64_t)r.full_width * r.full_height != total) return RIO_E_FORMAT;
+    if (r.has_sensor_info && r.sens_right < r.full_width &&
+        r.sens_bottom < r.full_height) {
+      r.width = r.sens_right - r.sens_left + 1;
+      r.height = r.sens_bottom - r.sens_top + 1;
+    } else {
+      r.sens_left = r.sens_top = 0;
+      r.has_sensor_info = false;
+      r.width = r.full_width;
+      r.height = r.full_height;
+    }
+    if (r.white <= 0) r.white = (double)((1u << f.precision) - 1);
+    // Canon mosaics are RGGB at the full-sensor origin; shift the visible
+    // pattern by the crop parity
+    {
+      const uint8_t base[2][2] = {{0, 1}, {1, 2}};
+      uint32_t t = r.sens_top & 1, l = r.sens_left & 1;
+      r.cfa[0] = base[t][l];
+      r.cfa[1] = base[t][l ^ 1];
+      r.cfa[2] = base[t ^ 1][l];
+      r.cfa[3] = base[t ^ 1][l ^ 1];
+    }
+    break;
+  }
   if (!r.width) return RIO_E_NOT_FOUND;
 
   // DNG color tags live in IFD0
@@ -495,9 +733,65 @@ int rio_ccm(void* h, double* out) {
 // Warning bitmask: 1 = ARW2 default tone curve, 2 = default black level.
 uint32_t rio_warnings(void* h) { return static_cast<Raw*>(h)->warnings; }
 
+// Canon CR2 read: lossless-JPEG decode -> un-slice -> per-channel black
+// from the masked left border -> crop to the visible area.
+int read_cr2(Raw& r, uint16_t* dst) {
+  const uint8_t* d = r.d + r.strip_offs[0];
+  size_t n = (size_t)r.strip_cnts[0];
+  LjFrame f;
+  int rc = lj_parse_header(d, n, &f);
+  if (rc != RIO_OK) return rc;
+  std::vector<uint16_t> flat;
+  rc = lj_decode(d, n, f, &flat);
+  if (rc != RIO_OK) return rc;
+
+  const uint32_t FW = r.full_width, FH = r.full_height;
+  std::vector<uint16_t> full((size_t)FW * FH);
+  uint16_t ns = r.cr2_slices[0], w1 = r.cr2_slices[1], w2 = r.cr2_slices[2];
+  if (!ns) { ns = 0; w1 = 0; w2 = (uint16_t)FW; }
+  // the JPEG raster order IS slice-major order: each slice is a vertical
+  // band written top to bottom (lclevy's CR2 format documentation)
+  size_t t = 0;
+  uint32_t x0 = 0;
+  for (uint32_t s = 0; s <= ns; ++s) {
+    uint32_t ws = s < ns ? w1 : w2;
+    if (!ws) continue;
+    if (x0 + ws > FW) return RIO_E_FORMAT;
+    for (uint32_t row = 0; row < FH; ++row)
+      for (uint32_t c = 0; c < ws; ++c) full[(size_t)row * FW + x0 + c] = flat[t++];
+    x0 += ws;
+  }
+
+  // per-channel black from the masked left border (LibRaw semantics: the
+  // optically black columns left of SensorLeftBorder), in VISIBLE-pattern
+  // CFA-cell row-major order to match rio_black_level's contract
+  if (r.has_sensor_info && r.sens_left >= 4) {
+    double sum[2][2] = {{0, 0}, {0, 0}};
+    uint64_t cnt[2][2] = {{0, 0}, {0, 0}};
+    for (uint32_t row = r.sens_top; row <= r.sens_bottom; ++row)
+      for (uint32_t col = 0; col + 2 < r.sens_left; ++col) {  // skip 2 junk cols
+        int a = (row - r.sens_top) & 1;
+        int b = (col & 1) ^ (r.sens_left & 1);  // cell col in VISIBLE phase
+        sum[a][b] += full[(size_t)row * FW + col];
+        cnt[a][b]++;
+      }
+    for (int a = 0; a < 2; ++a)
+      for (int b = 0; b < 2; ++b)
+        if (cnt[a][b]) r.black[a * 2 + b] = sum[a][b] / cnt[a][b];
+    r.has_black = true;
+  }
+
+  for (uint32_t row = 0; row < r.height; ++row)
+    std::memcpy(dst + (size_t)row * r.width,
+                full.data() + ((size_t)(row + r.sens_top) * FW + r.sens_left),
+                (size_t)r.width * 2);
+  return RIO_OK;
+}
+
 // Decode the mosaic into dst (height*width uint16, row major).
 int rio_read_raw(void* h, uint16_t* dst) {
   auto* r = static_cast<Raw*>(h);
+  if (r->is_ljpeg) return read_cr2(*r, dst);
   if (r->compression == 32767) {  // Sony ARW 2.3
     if (r->strip_offs.empty()) return RIO_E_FORMAT;
     uint64_t off = r->strip_offs[0];

@@ -316,3 +316,77 @@ def test_xtrans_sid_dataset(tmp_path, rng):
     assert item["target"].shape == (12, 16, 9)
     # ratio x100 roughly cancels the /100 darkening
     assert onp.abs(item["input"] - item["target"]).mean() < 0.03
+
+
+# ---------------------------------------------------------------------------
+# Canon CR2 (lossless JPEG + slices + masked borders)
+# ---------------------------------------------------------------------------
+
+
+def test_cr2_roundtrip(tmp_path, rng):
+    """Native CR2 decode reproduces the fixture mosaic BIT-EXACTLY (the
+    compression is lossless), crops to the SensorInfo visible area, and
+    derives per-channel black from the masked left border."""
+    from tests.cr2_fixture import make_cr2
+
+    data, visible, full = make_cr2(rng, visible=(8, 32), borders=(4, 2),
+                                   slices=(2, 16), ncomp=2, black=2048)
+    p = tmp_path / "fixture.CR2"
+    p.write_bytes(data)
+    raw = rawio.imread(str(p))
+    onp.testing.assert_array_equal(raw.mosaic, visible)
+    assert raw.white_level == 16383
+    assert raw.iso == 1600 and raw.exposure == pytest.approx(0.02)
+    onp.testing.assert_array_equal(raw.cfa_pattern, [[0, 1], [1, 2]])
+    # black ~ 2048 per channel (mask average)
+    onp.testing.assert_allclose(raw.black_level, [2048] * 4, atol=8)
+
+
+def test_cr2_unsliced_and_multislice(tmp_path, rng):
+    from tests.cr2_fixture import make_cr2
+
+    for name, slices, ncomp in (("one.CR2", (1, 24), 4), ("tri.CR2", (3, 8), 2)):
+        data, visible, _ = make_cr2(rng, visible=(4, 32), borders=(4, 4),
+                                    slices=slices, ncomp=ncomp)
+        p = tmp_path / name
+        p.write_bytes(data)
+        onp.testing.assert_array_equal(rawio.imread(str(p)).mosaic, visible)
+
+
+def test_cr2_odd_borders_shift_cfa(tmp_path, rng):
+    """Odd SensorInfo margins shift the visible CFA phase off the sensor's
+    RGGB origin."""
+    from tests.cr2_fixture import make_cr2
+
+    data, visible, _ = make_cr2(rng, visible=(8, 26), borders=(5, 3),
+                                slices=(1, 16), ncomp=1)
+    p = tmp_path / "odd.CR2"
+    p.write_bytes(data)
+    raw = rawio.imread(str(p))
+    onp.testing.assert_array_equal(raw.mosaic, visible)
+    # top odd, left odd: visible (0,0) sits at sensor (odd, odd) = B
+    onp.testing.assert_array_equal(raw.cfa_pattern, [[2, 1], [1, 0]])
+    packed = raw.packed()
+    assert packed.shape == (4, 13, 4)
+
+
+def test_cr2_eld_eval_dataset(tmp_path, rng):
+    """ELDEvalDataset walks native-decoded .CR2 scenes end-to-end
+    (reference: dataset/sid_dataset.py:370-419, Canon ELD cameras)."""
+    from tests.cr2_fixture import make_cr2
+    from eld_tpu.data.datasets import ELDEvalDataset
+
+    scene = tmp_path / "CanonEOS70D" / "scene-1"
+    scene.mkdir(parents=True)
+    # GT for input id 4 is the nearest of {1,6,11,16} -> 6
+    for img_id, iso, expo in ((6, 100, 1.0), (4, 800, 0.01)):
+        data, _, _ = make_cr2(rng, visible=(8, 32), borders=(4, 2),
+                              iso=iso, exposure=expo)
+        (scene / f"IMG_{img_id:04d}.CR2").write_bytes(data)
+    ds = ELDEvalDataset(str(tmp_path), ("CanonEOS70D", ".CR2"),
+                        scenes=[1], img_ids=[4])
+    item = ds[0]
+    assert item["input"].shape == (4, 16, 4)
+    assert item["target"].shape == (4, 16, 4)
+    # ratio = (iso*expo)_gt / (iso*expo)_in = 100 / 8 = 12.5
+    assert item["ratio"] == pytest.approx(12.5)
