@@ -11,11 +11,12 @@ Backends, tried in order:
      TIFF containers with uncompressed/packed mosaics, (b) Sony ARW 2.3
      lossy-compressed raws — the actual SID Sony dataset format
      (``dataset/sid_dataset.py:88``) — including Sony maker-note
-     black/WB/white/tone-curve metadata, and (c) Canon CR2 lossless-JPEG
+     black/WB/white/tone-curve metadata, (c) Canon CR2 lossless-JPEG
      raws (the ELD Canon cameras) with slice reassembly, SensorInfo
-     visible-area crop, and mask-derived per-channel black.  Remaining
-     vendor formats (.nef) are rejected with a clear error rather than
-     mis-normalized;
+     visible-area crop, and mask-derived per-channel black, and (d)
+     Nikon NEF lossless raws (the ELD D850) with maker-note black
+     levels.  Every SID/ELD dataset format now decodes natively; only
+     lossy-NEF variants fall back to the convert-to-DNG error;
   2. ``.npz`` rawpacks — a simple open format for pre-decoded raws
      (mosaic + metadata), produced by ``eld_tpu.tools.convert_raw`` on a
      machine that has LibRaw, or by tests/fixtures.
@@ -170,10 +171,11 @@ def _open_native(path: str) -> RawFile:
         if rc == RIO_E_UNSUPPORTED_COMPRESSION:
             raise UnsupportedRawError(
                 f"{path}: vendor-compressed raw (compression={comp}) this "
-                "decoder does not handle (Sony ARW 2.3 and Canon CR2 ARE "
-                "handled natively; Nikon NEF is not yet) — convert to "
-                "uncompressed DNG first (eld_tpu.tools.convert_raw, or "
-                "'dnglab convert' / Adobe DNG Converter with compression off)")
+                "decoder does not handle (Sony ARW 2.3, Canon CR2, and "
+                "lossless Nikon NEF decode natively; this file is another "
+                "variant) — convert to uncompressed DNG first "
+                "(eld_tpu.tools.convert_raw, or 'dnglab convert' / Adobe DNG "
+                "Converter with compression off)")
         if rc != 0:
             raise UnsupportedRawError(f"{path}: raw decode failed (rc={rc})")
         warn_bits = _LIB.rio_warnings(h) if _LIB.rio_warnings is not None else 0

@@ -82,6 +82,11 @@ struct Raw {
   // Canon CR2 (lossless JPEG + slicing + masked borders)
   bool is_ljpeg = false;        // raw strip is a lossless-JPEG stream
   uint16_t cr2_slices[3] = {0, 0, 0};  // [n, w_first_n, w_last] (tag 0xC640)
+
+  // Nikon NEF (compression 34713): file offset of the maker-note
+  // linearization table (tag 0x96), which carries the compression version
+  // bytes and the initial vertical predictors
+  uint64_t nef_meta_off = 0;
   // sensor borders from Canon maker-note SensorInfo (tag 0x00E0):
   // visible area = rows [top, bottom], cols [left, right] inclusive
   uint32_t sens_left = 0, sens_top = 0, sens_right = 0, sens_bottom = 0;
@@ -116,7 +121,10 @@ size_t type_size(uint16_t t) {
   }
 }
 
-bool parse_ifd(const Raw& r, size_t off, Ifd* out, size_t* next) {
+// rebase: added to non-inline value offsets — maker notes with an embedded
+// TIFF header (Nikon) store offsets relative to that embedded header.
+bool parse_ifd(const Raw& r, size_t off, Ifd* out, size_t* next,
+               size_t rebase = 0) {
   if (off + 2 > r.n) return false;
   uint16_t cnt = rd16(r, off);
   if (cnt > 4096) return false;
@@ -133,7 +141,7 @@ bool parse_ifd(const Raw& r, size_t off, Ifd* out, size_t* next) {
       e.value_off = p + 8;
     } else {
       e.is_inline = false;
-      e.value_off = rd32(r, p + 8);
+      e.value_off = rd32(r, p + 8) + rebase;
     }
     out->entries.push_back(e);
   }
@@ -214,6 +222,28 @@ void parse_exif(Raw& r, const Ifd& ifd) {
 // Canon tags (exiftool Canon::Main):
 //   0x00e0  SensorInfo: shorts [n, width, height, _, _, left, top, right,
 //           bottom, ...] — the visible-area borders (inclusive)
+// Nikon maker note: "Nikon\0" + 4 version bytes, then an EMBEDDED TIFF
+// (header + IFD) whose value offsets are relative to the embedded header.
+// Tags: 0x96 = linearization table (compression version bytes + initial
+// vertical predictors + optional curve); 0x3d = per-channel black level
+// (4 shorts, R G1 G2 B order).
+void parse_nikon_makernote(Raw& r, size_t off) {
+  size_t base = off + 10;  // skip "Nikon\0" + version
+  if (base + 8 > r.n) return;
+  // embedded TIFF header: byte order should match the file's
+  size_t ifd_off = rd32(r, base + 4);
+  Ifd mk;
+  size_t next = 0;
+  if (!parse_ifd(r, base + ifd_off, &mk, &next, base)) return;
+  if (const Entry* e = find(mk, 0x0096)) r.nef_meta_off = e->value_off;
+  if (const Entry* e = find(mk, 0x003d)) {
+    if (e->count >= 4) {
+      for (int i = 0; i < 4; ++i) r.black[i] = read_val(r, *e, i);
+      r.has_black = true;
+    }
+  }
+}
+
 void parse_sony_makernote(Raw& r, size_t off) {
   Ifd mk;
   size_t next = 0;
@@ -426,6 +456,100 @@ int lj_decode(const uint8_t* d, size_t n, const LjFrame& f,
   return RIO_OK;
 }
 
+// ---------------------------------------------------------------------------
+// Nikon NEF lossless compression (Compression=34713, version byte 0x46) —
+// the D850's format.  Public format (documented by dcraw/LibRaw's
+// nikon_load_raw): a plain MSB-first Huffman DPCM bitstream; the
+// per-bit-depth code tables are format constants; columns 0 and 1 carry
+// vertical predictors seeded from the maker-note linearization table
+// (tag 0x96: ver0, ver1, vpred[2][2]); every later column predicts from
+// the previous sample of the same column parity.  The lossless variants
+// use the identity curve (no tone table).  Lossy NEF variants (ver0 !=
+// 0x46) are not handled — they report unsupported.
+// ---------------------------------------------------------------------------
+
+// {16 code-length counts (lengths 1..16), then values} — format constants
+// of the NEF bitstream (the "nikon tree" tables).
+static const uint8_t kNefTree12[] = {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12};
+static const uint8_t kNefTree14[] = {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+                                     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14};
+
+struct NefBits {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;
+  int n = 0;
+  uint32_t get(int k) {
+    if (k == 0) return 0;
+    while (n < k) {
+      uint8_t b = p < end ? *p++ : 0;
+      acc = (acc << 8) | b;
+      n += 8;
+    }
+    n -= k;
+    return (uint32_t)((acc >> n) & ((1u << k) - 1));
+  }
+};
+
+int decode_nef(const Raw& r, uint16_t* dst) {
+  if (!r.nef_meta_off || r.strip_offs.empty()) return RIO_E_FORMAT;
+  size_t m = (size_t)r.nef_meta_off;
+  if (m + 14 > r.n) return RIO_E_FORMAT;
+  uint8_t ver0 = r.d[m], ver1 = r.d[m + 1];
+  (void)ver1;
+  if (ver0 != 0x46) return RIO_E_UNSUPPORTED_COMPRESSION;  // lossy variants
+  if (r.bits != 12 && r.bits != 14) return RIO_E_FORMAT;
+  int32_t vpred[2][2];
+  for (int i = 0; i < 4; ++i) vpred[i >> 1][i & 1] = rd16(r, m + 2 + 2 * i);
+
+  LjHuff huff;
+  {
+    const uint8_t* tree = r.bits == 14 ? kNefTree14 : kNefTree12;
+    uint8_t counts[17] = {0};
+    size_t nv = 0;
+    for (int i = 1; i <= 16; ++i) { counts[i] = tree[i - 1]; nv += counts[i]; }
+    huff.build(counts, tree + 16, nv);
+  }
+
+  uint64_t off = r.strip_offs[0];
+  uint64_t nbytes = !r.strip_cnts.empty() ? r.strip_cnts[0] : r.n - off;
+  if (off + nbytes > r.n) return RIO_E_FORMAT;
+  NefBits bits{r.d + off, r.d + off + nbytes};
+
+  const uint32_t W = r.width, H = r.height;
+  const int32_t maxv = (1 << r.bits) - 1;
+  int32_t hpred[2] = {0, 0};
+  for (uint32_t row = 0; row < H; ++row) {
+    for (uint32_t col = 0; col < W; ++col) {
+      // huffman decode (shared canonical-table walker)
+      int i_val = -1;
+      {
+        uint16_t code = 0;
+        for (int len = 1; len <= 16; ++len) {
+          code = (uint16_t)((code << 1) | bits.get(1));
+          if (huff.val_ptr[len] >= 0 && code >= huff.min_code[len] &&
+              code <= huff.max_code[len]) {
+            i_val = huff.vals[huff.val_ptr[len] + (code - huff.min_code[len])];
+            break;
+          }
+        }
+      }
+      if (i_val < 0) return RIO_E_FORMAT;
+      int len = i_val & 15;
+      int diff = (int)bits.get(len);
+      if (len > 0 && (diff & (1 << (len - 1))) == 0) diff -= (1 << len) - 1;
+      if (col < 2)
+        hpred[col] = vpred[row & 1][col] += diff;
+      else
+        hpred[col & 1] += diff;
+      int32_t v = hpred[col & 1];
+      dst[(size_t)row * W + col] = (uint16_t)(v < 0 ? 0 : v > maxv ? maxv : v);
+    }
+  }
+  return RIO_OK;
+}
+
 // Sony ARW 2.3 lossy compression (the SID dataset's .ARW payload).
 // Format (public; decoder semantics documented by dcraw/LibRaw's
 // sony_arw2_load_raw and the RawDigger ARW2 analyses — implemented from
@@ -514,8 +638,13 @@ int parse(Raw& r) {
       size_t next;
       if (parse_ifd(r, (size_t)read_val(r, *e, 0), &exif, &next)) {
         parse_exif(r, exif);
-        if (const Entry* mk = find(exif, 0x927C))
-          parse_sony_makernote(r, (size_t)mk->value_off);
+        if (const Entry* mk = find(exif, 0x927C)) {
+          size_t moff = (size_t)mk->value_off;
+          if (moff + 6 <= r.n && std::memcmp(r.d + moff, "Nikon\0", 6) == 0)
+            parse_nikon_makernote(r, moff);
+          else
+            parse_sony_makernote(r, moff);
+        }
       }
     }
   }
@@ -664,6 +793,16 @@ int parse(Raw& r) {
     }
     if (r.white <= 0) r.white = 16383.0;
   }
+  // Nikon NEF defaults where the maker-note black tag is absent: 400, the
+  // commonly documented D850 level; warn so callers can surface it.
+  if (r.compression == 34713) {
+    if (!r.has_black) {
+      for (int i = 0; i < 4; ++i) r.black[i] = 400.0;
+      r.has_black = true;
+      r.warnings |= RIO_W_DEFAULT_BLACK;
+    }
+    if (r.white <= 0 && r.bits) r.white = (double)((1u << r.bits) - 1);
+  }
   return RIO_OK;
 }
 
@@ -792,6 +931,7 @@ int read_cr2(Raw& r, uint16_t* dst) {
 int rio_read_raw(void* h, uint16_t* dst) {
   auto* r = static_cast<Raw*>(h);
   if (r->is_ljpeg) return read_cr2(*r, dst);
+  if (r->compression == 34713) return decode_nef(*r, dst);  // Nikon NEF
   if (r->compression == 32767) {  // Sony ARW 2.3
     if (r->strip_offs.empty()) return RIO_E_FORMAT;
     uint64_t off = r->strip_offs[0];

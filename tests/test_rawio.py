@@ -390,3 +390,75 @@ def test_cr2_eld_eval_dataset(tmp_path, rng):
     assert item["target"].shape == (4, 16, 4)
     # ratio = (iso*expo)_gt / (iso*expo)_in = 100 / 8 = 12.5
     assert item["ratio"] == pytest.approx(12.5)
+
+
+# ---------------------------------------------------------------------------
+# Nikon NEF (lossless huffman DPCM — the ELD D850 format)
+# ---------------------------------------------------------------------------
+
+
+def test_nef_roundtrip(tmp_path, rng):
+    """Native NEF decode reproduces the fixture mosaic BIT-EXACTLY
+    (lossless), with maker-note black level and standard EXIF."""
+    from tests.nef_fixture import make_nef
+
+    for bits in (14, 12):
+        vp = (8192, 8200, 8100, 8300) if bits == 14 else (2048, 2050, 2040, 2060)
+        data, mosaic = make_nef(rng, size=(8, 32), bits=bits, vpred=vp)
+        p = tmp_path / f"fixture{bits}.nef"
+        p.write_bytes(data)
+        raw = rawio.imread(str(p))
+        onp.testing.assert_array_equal(raw.mosaic, mosaic)
+        assert raw.white_level == (1 << bits) - 1
+        # tag order (R,G1,G2,B) cells -> packed (R,G1,B,G2)
+        onp.testing.assert_array_equal(raw.black_level, [400, 401, 403, 402])
+    assert raw.iso == 640 and raw.exposure == pytest.approx(0.05)
+
+
+def test_nef_lossy_rejected(tmp_path, rng):
+    """Lossy NEF variants (version byte != 0x46) report a clear error."""
+    from tests.nef_fixture import make_nef
+
+    data, _ = make_nef(rng, ver=(0x44, 0x20))
+    p = tmp_path / "lossy.nef"
+    p.write_bytes(data)
+    with pytest.raises(rawio.UnsupportedRawError):
+        rawio.imread(str(p))
+
+
+def test_nef_missing_black_defaults_400(tmp_path, rng):
+    from tests.nef_fixture import make_nef, make_nikon_makernote
+
+    data, mosaic = make_nef(rng)
+    # rebuild the maker note without the 0x3D black tag by zeroing its tag id
+    import struct
+
+    idx = data.find(b"Nikon\x00")
+    assert idx > 0
+    mut = bytearray(data)
+    tag_at = data.find(struct.pack("<HH", 0x003D, 3), idx)
+    assert tag_at > 0
+    mut[tag_at:tag_at + 2] = b"\xff\xfe"  # unknown tag
+    p = tmp_path / "noblack.nef"
+    p.write_bytes(bytes(mut))
+    with pytest.warns(UserWarning, match="black"):
+        raw = rawio.imread(str(p))
+    onp.testing.assert_array_equal(raw.black_level, [400] * 4)
+    onp.testing.assert_array_equal(raw.mosaic, mosaic)
+
+
+def test_nef_eld_eval_dataset(tmp_path, rng):
+    """ELDEvalDataset over native-decoded .nef scenes (NikonD850 path)."""
+    from tests.nef_fixture import make_nef
+    from eld_tpu.data.datasets import ELDEvalDataset
+
+    scene = tmp_path / "NikonD850" / "scene-1"
+    scene.mkdir(parents=True)
+    for img_id, iso, expo in ((6, 100, 1.0), (4, 800, 0.01)):
+        data, _ = make_nef(rng, size=(8, 32), iso=iso, exposure=expo)
+        (scene / f"IMG_{img_id:04d}.nef").write_bytes(data)
+    ds = ELDEvalDataset(str(tmp_path), ("NikonD850", ".nef"),
+                        scenes=[1], img_ids=[4])
+    item = ds[0]
+    assert item["input"].shape == (4, 16, 4)
+    assert item["ratio"] == pytest.approx(12.5)
