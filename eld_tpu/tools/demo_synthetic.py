@@ -51,6 +51,45 @@ def make_scenes(rng, n, size=512):
     return out
 
 
+def calibrated_params(bank, ratio, cam=0, iso=9, k_q=0.5):
+    """Deterministic full-ELD NoiseParams at the CALIBRATED operating point:
+    K at quantile ``k_q`` of the camera's calibrated [Kmin, Kmax], read/row
+    scales on the calibrated log-linear profiles at that K (no sigma draw),
+    Tukey-lambda shape and color bias at ISO index ``iso``."""
+    log_k = (1 - k_q) * jnp.log(bank.kmin[cam]) + k_q * jnp.log(bank.kmax[cam])
+    scale = lambda slope, bias: jnp.exp(slope[cam] * log_k + bias[cam])
+    return NoiseParams(
+        K=jnp.exp(log_k),
+        g_scale=scale(bank.g_slope, bank.g_bias),
+        G_scale=scale(bank.G_slope, bank.G_bias),
+        G_shape=bank.g_shape[cam, iso],
+        R_scale=scale(bank.R_slope, bank.R_bias),
+        color_bias=bank.color_bias[cam, iso],
+        saturation_level=jnp.float32(15583.0),
+        ratio=jnp.float32(ratio),
+    )
+
+
+def ratio_sweep(model, params, holdout, bank, ratios=(100, 200, 300)):
+    """Held-out denoised PSNR across an exposure-ratio sweep with the FULL
+    calibrated ELD noise model ('PGrqc') — the hardest synthetic protocol
+    available without real SID raws (VERDICT round-1 item 5)."""
+    fwd = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
+    out = {}
+    for ratio in ratios:
+        np_ = calibrated_params(bank, ratio)
+        npsnr, dpsnr = [], []
+        for i in range(holdout.shape[0]):
+            noisy = jnp.clip(apply_noise(jax.random.PRNGKey(31000 + i),
+                                         holdout[i], np_, "PGrqc"), 0, 1)
+            den = jnp.clip(fwd(params, noisy[None])[0], 0, 1)
+            npsnr.append(float(psnr(noisy, holdout[i], 1.0)))
+            dpsnr.append(float(psnr(den, holdout[i], 1.0)))
+        out[f"x{ratio}"] = {"noisy_psnr": round(onp.mean(npsnr), 2),
+                            "denoised_psnr": round(onp.mean(dpsnr), 2)}
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--arch", type=str, default="unet")
@@ -61,6 +100,8 @@ def main(argv=None):
     p.add_argument("--noise", type=str, default="eld")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ratio_sweep", action="store_true",
+                   help="add a calibrated full-ELD exposure-ratio sweep eval")
     ns = p.parse_args(argv)
 
     rng = onp.random.default_rng(ns.seed)
@@ -124,6 +165,9 @@ def main(argv=None):
         "final_loss": round(float(m["Pixel"]), 4),
         **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},
     }
+    if ns.ratio_sweep:
+        sweep = ratio_sweep(model, state.params, holdout, bank)
+        result.update({f"{k}_{kk}": vv for k, v in sweep.items() for kk, vv in v.items()})
     print(json.dumps(result))
     return result
 
