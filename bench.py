@@ -12,6 +12,12 @@ reference GPU; vs_baseline is measured/12.  North star (BASELINE.json):
 >= 5x on a v5e-8, i.e. >= 60 patches/s/chip x 8.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Series note: from round 2 the headline value measures arch=unet_s2d (the
+"arch" field says which); rounds before that measured the parity "unet",
+which is still reported as parity_unet_patches_per_sec.  A ~2.7x jump at
+the r1->r2 boundary is the arch promotion (BASELINE.md ratio-sweep A/B),
+not an infra change.
 """
 
 import json

@@ -73,6 +73,26 @@ _XTRANS_QUAD = {
 }
 _XTRANS_TRI = {5: (1, 0), 6: (1, 1), 7: (2, 0), 8: (2, 1)}  # G planes
 
+# channel -> CFA color code (0=R, 1=G, 2=B) for the 9 packed planes
+_XTRANS_CHANNEL_COLOR = {0: 0, 1: 1, 2: 2, 3: 0, 4: 2, 5: 1, 6: 1, 7: 1, 8: 1}
+
+
+def xtrans_pattern() -> onp.ndarray:
+    """The canonical 6x6 X-Trans CFA pattern (codes 0=R 1=G 2=B) that
+    :func:`pack_xtrans` assumes, derived from its own sampling maps.
+    Files whose visible area starts at a different 6x6 phase must be
+    re-phased before packing (see ``RawFile.packed``)."""
+    pat = onp.full((6, 6), 255, onp.uint8)
+    for ch, quads in _XTRANS_QUAD.items():
+        for (mr, mc, _pr, _pc) in quads:
+            pat[mr, mc] = _XTRANS_CHANNEL_COLOR[ch]
+    for ch, (mr, mc) in _XTRANS_TRI.items():
+        for dr in (0, 3):
+            for dc in (0, 3):
+                pat[mr + dr, mc + dc] = _XTRANS_CHANNEL_COLOR[ch]
+    assert not (pat == 255).any()
+    return pat
+
 
 def pack_xtrans(cfa, xp=onp):
     """Pack an (H, W) X-Trans mosaic into (H//3, W//3, 9) planes."""

@@ -147,6 +147,17 @@ class RawFile:
             black = self.black_level.reshape(1, 1, 4).astype(onp.float32)
             out = (out - black) / (self.white_level - black)
         else:
+            # pack_xtrans samples the canonical X-Trans 6x6 layout; a file
+            # whose visible area starts at a different phase would silently
+            # land R/B samples in the wrong planes — refuse instead.
+            from eld_tpu.core.packing import xtrans_pattern
+
+            if self.cfa_pattern.shape == (6, 6) and not onp.array_equal(
+                    self.cfa_pattern, xtrans_pattern()):
+                raise UnsupportedRawError(
+                    "X-Trans CFA phase differs from the canonical layout "
+                    "pack_xtrans assumes; re-crop the visible area to the "
+                    f"canonical phase first (got pattern\n{self.cfa_pattern})")
             # scalar black for X-Trans (the reference hardcodes 1024 for the
             # Fuji X-T2, sid_dataset.py:202; we take the file's level)
             b = float(self.black_level[0])
@@ -178,6 +189,13 @@ def _open_native(path: str) -> RawFile:
                 "Converter with compression off)")
         if rc != 0:
             raise UnsupportedRawError(f"{path}: raw decode failed (rc={rc})")
+        if not _LIB.rio_has_black(h):
+            raise UnsupportedRawError(
+                f"{path}: no black-level metadata — vendor raws store levels "
+                "in maker notes this decoder does not parse for this format; "
+                "convert to DNG first (eld_tpu.tools.convert_raw)")
+        black_cells = (ctypes.c_double * 4)()
+        _LIB.rio_black_level(h, black_cells)
         warn_bits = _LIB.rio_warnings(h) if _LIB.rio_warnings is not None else 0
         if warn_bits:
             import warnings as _w
@@ -188,16 +206,12 @@ def _open_native(path: str) -> RawFile:
                             "default linear x4 expansion; values MAY be on a "
                             "wrong tone scale")
             if warn_bits & 2:
-                msgs.append("no black-level tag — defaulting to 512 (the "
-                            "Sony A7S2 value the reference hardcodes)")
+                # the native layer defaults per format (512 for ARW — the
+                # A7S2 value the reference hardcodes — 400 for NEF/D850);
+                # report the value actually applied
+                msgs.append("no black-level tag — defaulting to the format's "
+                            f"documented level ({black_cells[0]:.0f})")
             _w.warn(f"{path}: " + "; ".join(msgs), stacklevel=3)
-        if not _LIB.rio_has_black(h):
-            raise UnsupportedRawError(
-                f"{path}: no black-level metadata — vendor raws store levels "
-                "in maker notes this decoder does not parse for this format; "
-                "convert to DNG first (eld_tpu.tools.convert_raw)")
-        black_cells = (ctypes.c_double * 4)()
-        _LIB.rio_black_level(h, black_cells)
         cfa_dim = int(_LIB.rio_cfa_dim(h)) if _LIB.rio_warnings is not None else 2
         if cfa_dim == 6:  # X-Trans
             full = (ctypes.c_uint8 * 36)()

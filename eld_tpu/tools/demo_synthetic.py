@@ -70,11 +70,14 @@ def calibrated_params(bank, ratio, cam=0, iso=9, k_q=0.5):
     )
 
 
-def ratio_sweep(model, params, holdout, bank, ratios=(100, 200, 300)):
+def ratio_sweep(fwd, params, holdout, bank, ratios=(100, 200, 300)):
     """Held-out denoised PSNR across an exposure-ratio sweep with the FULL
     calibrated ELD noise model ('PGrqc') — the hardest synthetic protocol
-    available without real SID raws (VERDICT round-1 item 5)."""
-    fwd = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
+    available without real SID raws (VERDICT round-1 item 5).
+
+    ``fwd`` is the already-jitted (params, x) -> pred forward from main()
+    — reusing it avoids a second ~30-60s XLA compile of the same program
+    through this rig's tunnel."""
     out = {}
     for ratio in ratios:
         np_ = calibrated_params(bank, ratio)
@@ -166,7 +169,7 @@ def main(argv=None):
         **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},
     }
     if ns.ratio_sweep:
-        sweep = ratio_sweep(model, state.params, holdout, bank)
+        sweep = ratio_sweep(fwd, state.params, holdout, bank)
         result.update({f"{k}_{kk}": vv for k, v in sweep.items() for kk, vv in v.items()})
     print(json.dumps(result))
     return result

@@ -327,6 +327,20 @@ struct LjHuff {
   }
 };
 
+// Canonical-table code walk, shared by every Huffman bitstream here (the
+// bit readers differ only in byte-stuffing rules).  Returns the decoded
+// value or -1 on an invalid code.
+template <typename Bits>
+static int huff_decode(Bits& b, const LjHuff& h) {
+  uint16_t code = 0;
+  for (int len = 1; len <= 16; ++len) {
+    code = (uint16_t)((code << 1) | b.get(1));
+    if (h.val_ptr[len] >= 0 && code >= h.min_code[len] && code <= h.max_code[len])
+      return h.vals[h.val_ptr[len] + (code - h.min_code[len])];
+  }
+  return -1;
+}
+
 struct LjBits {
   const uint8_t* p;
   const uint8_t* end;
@@ -353,13 +367,7 @@ struct LjBits {
   }
   int decode(const LjHuff& h) {
     if (n < 16) fill();
-    uint16_t code = 0;
-    for (int len = 1; len <= 16; ++len) {
-      code = (uint16_t)((code << 1) | get(1));
-      if (h.val_ptr[len] >= 0 && code >= h.min_code[len] && code <= h.max_code[len])
-        return h.vals[h.val_ptr[len] + (code - h.min_code[len])];
-    }
-    return -1;
+    return huff_decode(*this, h);
   }
 };
 
@@ -522,19 +530,7 @@ int decode_nef(const Raw& r, uint16_t* dst) {
   int32_t hpred[2] = {0, 0};
   for (uint32_t row = 0; row < H; ++row) {
     for (uint32_t col = 0; col < W; ++col) {
-      // huffman decode (shared canonical-table walker)
-      int i_val = -1;
-      {
-        uint16_t code = 0;
-        for (int len = 1; len <= 16; ++len) {
-          code = (uint16_t)((code << 1) | bits.get(1));
-          if (huff.val_ptr[len] >= 0 && code >= huff.min_code[len] &&
-              code <= huff.max_code[len]) {
-            i_val = huff.vals[huff.val_ptr[len] + (code - huff.min_code[len])];
-            break;
-          }
-        }
-      }
+      int i_val = huff_decode(bits, huff);
       if (i_val < 0) return RIO_E_FORMAT;
       int len = i_val & 15;
       int diff = (int)bits.get(len);
@@ -886,8 +882,8 @@ int read_cr2(Raw& r, uint16_t* dst) {
 
   const uint32_t FW = r.full_width, FH = r.full_height;
   std::vector<uint16_t> full((size_t)FW * FH);
-  uint16_t ns = r.cr2_slices[0], w1 = r.cr2_slices[1], w2 = r.cr2_slices[2];
-  if (!ns) { ns = 0; w1 = 0; w2 = (uint16_t)FW; }
+  uint32_t ns = r.cr2_slices[0], w1 = r.cr2_slices[1], w2 = r.cr2_slices[2];
+  if (!ns) { w1 = 0; w2 = FW; }  // unsliced: one band of the full width
   // the JPEG raster order IS slice-major order: each slice is a vertical
   // band written top to bottom (lclevy's CR2 format documentation)
   size_t t = 0;

@@ -58,6 +58,18 @@ def test_xtrans_covers_every_pixel(rng):
     assert sorted(packed.ravel().tolist()) == sorted(cfa.ravel().tolist())
 
 
+def test_xtrans_pattern_canonical():
+    """xtrans_pattern() (derived from the sampling maps) equals the known
+    Fuji X-Trans layout the fixtures encode."""
+    want = onp.array([0, 2, 1, 2, 0, 1,
+                      1, 1, 0, 1, 1, 2,
+                      1, 1, 2, 1, 1, 0,
+                      2, 0, 1, 0, 2, 1,
+                      1, 1, 2, 1, 1, 0,
+                      1, 1, 0, 1, 1, 2], onp.uint8).reshape(6, 6)
+    onp.testing.assert_array_equal(packing.xtrans_pattern(), want)
+
+
 def test_normalize_bayer():
     packed = onp.full((4, 4, 4), 8191.5, dtype=onp.float32)
     black = onp.array([512, 512, 512, 512], dtype=onp.float32)

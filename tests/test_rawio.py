@@ -295,6 +295,24 @@ def test_xtrans_native_ingest(tmp_path, rng):
     onp.testing.assert_allclose(packed, want, atol=1e-6)
 
 
+def test_xtrans_phase_mismatch_raises(rng):
+    """packed() refuses a 6x6 CFA whose phase differs from the canonical
+    X-Trans layout instead of silently mispacking color planes."""
+    from eld_tpu.core.packing import xtrans_pattern
+
+    shifted = onp.roll(xtrans_pattern(), 1, axis=1)  # col-shifted phase
+    raw = rawio.RawFile(
+        mosaic=rng.integers(1024, 16384, (36, 48)).astype(onp.uint16),
+        black_level=onp.full(4, 1024.0, onp.float32),
+        white_level=16383.0,
+        cfa_pattern=shifted,
+        wb=onp.ones(4, onp.float32),
+        ccm=onp.eye(3, dtype=onp.float32),
+        iso=100.0, exposure=1.0, cfa="xtrans")
+    with pytest.raises(rawio.UnsupportedRawError, match="phase"):
+        raw.packed()
+
+
 def test_xtrans_sid_dataset(tmp_path, rng):
     """SIDDataset(cfa='xtrans') end-to-end from native-decoded fixtures
     (reference Fuji path, sid_dataset.py:199-245)."""
