@@ -35,4 +35,8 @@ def __getattr__(name):
         from eld_tpu.config import Config
 
         return Config
+    if name in ("save_denoiser", "load_denoiser"):
+        from eld_tpu import export
+
+        return getattr(export, name)
     raise AttributeError(f"module 'eld_tpu' has no attribute {name!r}")

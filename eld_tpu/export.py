@@ -1,0 +1,133 @@
+"""Serving export: self-contained StableHLO denoiser artifacts.
+
+The reference has no deployment story — running its denoiser requires the
+full repo plus torch to rebuild the module and load a ``.pt`` state dict
+(``models/ELD_model.py:492-514``).  The TPU-native redesign bakes the
+trained network into ONE portable artifact via ``jax.export``:
+
+  * the trained parameters are closed over, so they become constants in
+    the StableHLO module — the artifact is self-contained (no eld_tpu,
+    no flax, no checkpoint needed at serving time, only jax);
+  * lowered for BOTH tpu and cpu backends in one artifact, so the same
+    file serves on a TPU pod and on a CPU canary;
+  * the batch dimension is symbolic, so one export serves any batch size;
+  * jax.export's calling-convention versioning guards forward compat.
+
+Artifact format (``.eldx``): a zip with ``model.stablehlo`` (the
+serialized Exported) and ``meta.json`` (arch, geometry, dtypes, param
+count) for inspection without deserializing.
+
+Eval-protocol parity: ``chop=True`` bakes the reference's 4-tile chopped
+forward (``models/ELD_model.py:434-467`` semantics via ``ops/chop``) into
+the artifact, so full-frame serving matches the released eval protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+ARTIFACT_VERSION = 1
+_BLOB = "model.stablehlo"
+_META = "meta.json"
+
+
+def _forward(model, params, chop: bool):
+    from eld_tpu.ops.chop import forward_chop
+
+    def fn(x):
+        apply_fn = lambda t: model.apply({"params": params}, t)
+        out = forward_chop(apply_fn, x) if chop else apply_fn(x)
+        return out.astype(jnp.float32)
+
+    return fn
+
+
+def export_denoiser(
+    model,
+    params,
+    height: int,
+    width: int,
+    channels: int = 4,
+    *,
+    chop: bool = False,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    symbolic_batch: bool = True,
+):
+    """Lower the denoiser to a serialized StableHLO blob (bytes).
+
+    ``height``/``width`` are static (XLA needs static spatial shapes; use
+    the serving frame geometry, e.g. 1424x2128 for SID Sony full frames).
+    The batch dimension is symbolic unless ``symbolic_batch=False``.
+    """
+    from jax import export as jexport
+
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = 1
+    spec = jax.ShapeDtypeStruct((b, height, width, channels), jnp.float32)
+    fn = jax.jit(_forward(model, params, chop))
+    exported = jexport.export(fn, platforms=tuple(platforms))(spec)
+    return exported.serialize()
+
+
+def save_denoiser(
+    path: str,
+    model,
+    params,
+    height: int,
+    width: int,
+    channels: int = 4,
+    *,
+    chop: bool = False,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    symbolic_batch: bool = True,
+    extra_meta: Optional[dict] = None,
+) -> dict:
+    """Export + write a ``.eldx`` artifact; returns the metadata dict."""
+    blob = export_denoiser(
+        model, params, height, width, channels,
+        chop=chop, platforms=platforms, symbolic_batch=symbolic_batch,
+    )
+    n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    meta = {
+        "format": "eldx",
+        "version": ARTIFACT_VERSION,
+        "jax_version": jax.__version__,
+        "height": height,
+        "width": width,
+        "channels": channels,
+        "chop": chop,
+        "platforms": list(platforms),
+        "symbolic_batch": symbolic_batch,
+        "param_count": n_params,
+        **(extra_meta or {}),
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(_META, json.dumps(meta, indent=1))
+        z.writestr(_BLOB, blob)
+    return meta
+
+
+def read_meta(path: str) -> dict:
+    with zipfile.ZipFile(path) as z:
+        return json.loads(z.read(_META).decode())
+
+
+def load_denoiser(path: str) -> Tuple[Callable[[Any], Any], dict]:
+    """Load a ``.eldx`` artifact: returns (callable, meta).
+
+    The callable maps a float32 (N, H, W, C) array to the denoised output;
+    it needs only jax at call time (parameters live inside the module).
+    """
+    from jax import export as jexport
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read(_META).decode())
+        exported = jexport.deserialize(bytearray(z.read(_BLOB)))
+    return exported.call, meta

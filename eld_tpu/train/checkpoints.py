@@ -116,10 +116,21 @@ def restore_checkpoint(path: str, state):
 
 
 def restore_params(path: str, params_template):
-    """Params-only restore (eval flows that never build an optimizer)."""
-    payload = _ckptr().restore(
-        os.path.abspath(path),
-        item={"params": jax.device_get(params_template), "epoch": 0, "iterations": 0},
-        transforms={},  # ignore extra keys (opt_state) in the stored tree
-    )
-    return payload["params"], int(payload["epoch"]), int(payload["iterations"])
+    """Params-only restore (eval flows that never build an optimizer).
+
+    Restores the raw tree and projects it onto the template (ignoring the
+    stored opt_state) — orbax's `transforms`-based partial restore
+    requires matching restore_args on current versions, so the projection
+    is done here with an explicit per-leaf shape check."""
+    payload = _ckptr().restore(os.path.abspath(path))
+
+    def _project(t, v):
+        v = onp.asarray(v)
+        t_shape = tuple(getattr(t, "shape", ()))
+        if v.shape != t_shape:
+            raise ValueError(f"checkpoint leaf shape {v.shape} != template {t_shape}")
+        return v
+
+    params = jax.tree_util.tree_map(_project, jax.device_get(params_template),
+                                    payload["params"])
+    return params, int(payload["epoch"]), int(payload["iterations"])
