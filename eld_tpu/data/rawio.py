@@ -114,6 +114,10 @@ def _pattern_offsets(pattern: onp.ndarray):
         if len(pos) == 0:  # some files use 1 for both greens
             greens = onp.argwhere(pattern == 1)
             pos = greens[1:2] if code == 3 and len(greens) > 1 else pos
+        if len(pos) == 0:  # corrupted/non-Bayer pattern: reject cleanly
+            raise UnsupportedRawError(
+                f"CFA pattern {pattern.tolist()} lacks color code {code} — "
+                "not a decodable 2x2 Bayer mosaic")
         out.append(tuple(int(v) for v in pos[0]))
     return tuple(out)
 

@@ -799,6 +799,15 @@ int parse(Raw& r) {
     }
     if (r.white <= 0 && r.bits) r.white = (double)((1u << r.bits) - 1);
   }
+  // Dimension sanity: corrupted width/height tags would otherwise drive
+  // the decode loops for billions of iterations (a fuzz-found hang) or
+  // huge allocations.  No real sensor exceeds 65535 px per side or
+  // ~400 MP (largest shipping is ~150 MP); anything bigger is garbage.
+  if (r.width == 0 || r.height == 0 || r.width > 65535 || r.height > 65535 ||
+      (uint64_t)r.width * r.height > 400000000ull)
+    return RIO_E_FORMAT;
+  if ((uint64_t)r.full_width * r.full_height > 400000000ull)
+    return RIO_E_FORMAT;
   return RIO_OK;
 }
 

@@ -125,6 +125,42 @@ def test_parser_ifd_cycle(tmp_path):
         rawio.imread(str(p))
 
 
+def test_compressed_decoders_survive_corruption(tmp_path, rng):
+    """Truncation and random byte flips anywhere in ARW2/CR2/NEF files must
+    yield either a clean decode (garbage VALUES are fine for flipped entropy
+    bits) or UnsupportedRawError — never an out-of-bounds access (a segfault
+    here would kill the test process) and never a hang."""
+    from tests.arw_fixture import make_arw
+    from tests.cr2_fixture import make_cr2
+    from tests.nef_fixture import make_nef
+
+    fixtures = {
+        "a.ARW": make_arw(rng, width=64, height=8)[0],
+        "c.CR2": make_cr2(rng, visible=(8, 32), borders=(4, 2),
+                          slices=(2, 16), ncomp=2)[0],
+        "n.nef": make_nef(rng, size=(8, 32))[0],
+    }
+    for name, data in fixtures.items():
+        n = len(data)
+        cases = []
+        for cut in (1, n // 4, n // 2, n - 3):  # truncations
+            cases.append(data[:cut])
+        for _ in range(12):  # random byte flips (metadata AND entropy data)
+            buf = bytearray(data)
+            for pos in rng.integers(0, n, 3):
+                buf[pos] ^= int(rng.integers(1, 256))
+            cases.append(bytes(buf))
+        for i, payload in enumerate(cases):
+            p = tmp_path / f"{i}_{name}"
+            p.write_bytes(payload)
+            try:
+                raw = rawio.imread(str(p))
+                assert raw.mosaic.shape[0] > 0  # decoded: shape sane
+            except (rawio.UnsupportedRawError, MemoryError,
+                    OverflowError, ValueError):
+                pass  # clean rejection is fine; anything else is a bug
+
+
 def test_ccm_conversion_roundtrip(rng):
     """ColorMatrix (XYZ->cam) -> cam->sRGB inverts the dcraw recipe and
     preserves white (cam [1,1,1] -> sRGB [1,1,1])."""
