@@ -104,26 +104,55 @@ def run_eval_fullframe():
     return reps / (time.perf_counter() - t0)
 
 
+def peak_only():
+    """--peak-only: peak fused-step throughput (measured v5e sweet spot:
+    batch 128 = 743.6 p/s; 192 regresses, 256 OOMs); falls back on smaller
+    batches.  Runs as a SEPARATE PROCESS so its large-batch programs can't
+    fragment the HBM arena under the series-stable headline measurement
+    (fragmentation read the batch-16 number ~40% low: 430 vs 743 p/s),
+    and vice versa.  Prints one JSON line {"peak": p/s, "batch": N}."""
+    for batch in (128, 64, 32):
+        try:
+            peak = run(batch)
+        except Exception as e:
+            print(f"[bench] peak batch {batch} failed: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
+        print(json.dumps({"peak": round(peak, 2), "batch": batch}))
+        return
+    print(json.dumps({}))
+
+
+def measure_peak_subprocess():
+    """Run peak_only in a child process BEFORE this process touches the
+    TPU (the chip admits one client at a time on this rig)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--peak-only"],
+            capture_output=True, text=True, timeout=900)
+        sys.stderr.write(out.stderr)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        if "peak" in rec:
+            print(f"[bench] peak batch {rec['batch']}: {rec['peak']:.2f} "
+                  "patches/s", file=sys.stderr)
+            return rec["peak"], rec["batch"]
+    except Exception as e:
+        print(f"[bench] peak subprocess failed: {type(e).__name__}", file=sys.stderr)
+    return None, None
+
+
 def main():
     # HEADLINE = throughput at the quality-validated training operating
     # point (batch 16): the equal-wall ratio-sweep gates showed bigger
     # per-chip batches train WORSE per wall-second at this model scale
     # (batch 64: -3.7 dB, batch 128: -3.5 dB vs batch 16 at equal wall —
     # BASELINE.md round-2 batch scan), so peak-batch throughput would be a
-    # hollow headline.  Peak capability is still reported separately below.
-    # peak fused-step throughput (measured v5e sweet spot: batch 128 =
-    # 743.6 p/s; 192 regresses, 256 OOMs); falls back on smaller batches.
-    # Measured FIRST, on a fresh HBM arena: running it after the batch
-    # scan reads ~40% low (430 vs 743 p/s) once the arena is fragmented
-    # by the earlier programs.
-    peak = None
-    for batch in (128, 64, 32):
-        try:
-            peak = run(batch)
-            print(f"[bench] peak batch {batch}: {peak:.2f} patches/s", file=sys.stderr)
-            break
-        except Exception as e:
-            print(f"[bench] peak batch {batch} failed: {type(e).__name__}", file=sys.stderr)
+    # hollow headline.  Peak capability is reported separately, measured in
+    # its own process (see peak_only) so the headline always runs on a
+    # fresh HBM arena, comparable across rounds.
+    peak, peak_batch = measure_peak_subprocess()
     best = 0.0
     for batch in (16, 8, 4, 2, 1):
         try:
@@ -156,6 +185,7 @@ def main():
     }
     if peak is not None:
         record["peak_patches_per_sec"] = round(peak, 2)
+        record["peak_batch"] = peak_batch
     if parity is not None:
         record["parity_unet_patches_per_sec"] = round(parity, 2)
     if eval_fps is not None:
@@ -164,4 +194,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--peak-only" in sys.argv:
+        peak_only()
+    else:
+        main()

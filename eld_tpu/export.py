@@ -114,9 +114,21 @@ def save_denoiser(
     return meta
 
 
+def _check_meta(path: str, meta: dict) -> dict:
+    if meta.get("format") != "eldx":
+        raise ValueError(
+            f"{path}: not an eldx artifact (format={meta.get('format')!r})")
+    version = meta.get("version")
+    if version != ARTIFACT_VERSION:
+        raise ValueError(
+            f"{path}: unsupported eldx artifact version {version!r} "
+            f"(this eld_tpu reads version {ARTIFACT_VERSION})")
+    return meta
+
+
 def read_meta(path: str) -> dict:
     with zipfile.ZipFile(path) as z:
-        return json.loads(z.read(_META).decode())
+        return _check_meta(path, json.loads(z.read(_META).decode()))
 
 
 def load_denoiser(path: str) -> Tuple[Callable[[Any], Any], dict]:
@@ -128,6 +140,6 @@ def load_denoiser(path: str) -> Tuple[Callable[[Any], Any], dict]:
     from jax import export as jexport
 
     with zipfile.ZipFile(path) as z:
-        meta = json.loads(z.read(_META).decode())
+        meta = _check_meta(path, json.loads(z.read(_META).decode()))
         exported = jexport.deserialize(bytearray(z.read(_BLOB)))
     return exported.call, meta

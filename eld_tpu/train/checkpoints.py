@@ -118,19 +118,42 @@ def restore_checkpoint(path: str, state):
 def restore_params(path: str, params_template):
     """Params-only restore (eval flows that never build an optimizer).
 
-    Restores the raw tree and projects it onto the template (ignoring the
-    stored opt_state) — orbax's `transforms`-based partial restore
-    requires matching restore_args on current versions, so the projection
-    is done here with an explicit per-leaf shape check."""
-    payload = _ckptr().restore(os.path.abspath(path))
+    Reads only {params, epoch, iterations} from disk — the stored
+    opt_state (~2x params bytes for Adam) is never deserialized.  The
+    template's tree structure and per-leaf shapes are validated against
+    the checkpoint's metadata first, with a per-leaf diagnostic on
+    mismatch (orbax's own structure error is opaque)."""
+    path = os.path.abspath(path)
+    ckptr = _ckptr()
 
-    def _project(t, v):
-        v = onp.asarray(v)
-        t_shape = tuple(getattr(t, "shape", ()))
-        if v.shape != t_shape:
-            raise ValueError(f"checkpoint leaf shape {v.shape} != template {t_shape}")
-        return v
+    def _paths(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(kp): leaf for kp, leaf in flat}
 
-    params = jax.tree_util.tree_map(_project, jax.device_get(params_template),
-                                    payload["params"])
+    meta = ckptr.metadata(path).item_metadata.tree
+    for key in ("params", "epoch", "iterations"):
+        if key not in meta:
+            raise ValueError(f"{path}: not an eld_tpu checkpoint (no '{key}' entry)")
+    stored = _paths(meta["params"])
+    tmpl_params = jax.device_get(params_template)
+    wanted = _paths(tmpl_params)
+    if set(stored) != set(wanted):
+        missing = sorted(set(wanted) - set(stored))
+        extra = sorted(set(stored) - set(wanted))
+        raise ValueError(
+            f"{path}: params tree mismatch — template leaves missing from "
+            f"checkpoint: {missing or 'none'}; checkpoint leaves not in "
+            f"template: {extra or 'none'}")
+    for k, leaf in wanted.items():
+        t_shape = tuple(getattr(leaf, "shape", ()))
+        s_shape = tuple(stored[k].shape or ())
+        if s_shape != t_shape:
+            raise ValueError(
+                f"{path}: checkpoint leaf {k} shape {s_shape} != template {t_shape}")
+
+    item = {"params": tmpl_params, "epoch": 0, "iterations": 0}
+    restore_args = jax.tree_util.tree_map(lambda _: ocp.RestoreArgs(), item)
+    payload = ckptr.restore(path, item=item, transforms={},
+                            restore_args=restore_args)
+    params = jax.tree_util.tree_map(onp.asarray, payload["params"])
     return params, int(payload["epoch"]), int(payload["iterations"])

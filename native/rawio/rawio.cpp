@@ -402,7 +402,8 @@ int lj_parse_header(const uint8_t* d, size_t n, LjFrame* f) {
         uint8_t counts[17] = {0};
         size_t nv = 0;
         for (int i = 1; i <= 16; ++i) { counts[i] = seg[q + i]; nv += counts[i]; }
-        if (q + 17 + nv > seglen || th > 3) return RIO_E_FORMAT;
+        // nv > 256 would make huff_decode index past LjHuff::vals
+        if (q + 17 + nv > seglen || th > 3 || nv > 256) return RIO_E_FORMAT;
         f->huff[th].build(counts, seg + q + 17, nv);
         q += 17 + nv;
       }
@@ -414,6 +415,9 @@ int lj_parse_header(const uint8_t* d, size_t n, LjFrame* f) {
       f->ncomp = seg[5];
       if (f->ncomp < 1 || f->ncomp > 4 || seglen < 6 + 3 * (size_t)f->ncomp)
         return RIO_E_FORMAT;
+      // T.81 allows P in [2,16] for lossless; anything else would reach
+      // shifts by negative/oversized exponents in lj_decode
+      if (f->precision < 2 || f->precision > 16) return RIO_E_FORMAT;
     } else if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
                marker != 0xC8 && marker != 0xCC) {
       return RIO_E_UNSUPPORTED_COMPRESSION;  // a non-lossless SOF
@@ -447,7 +451,9 @@ int lj_decode(const uint8_t* d, size_t n, const LjFrame& f,
         const LjHuff& hu = f.huff[f.comp_table[c]];
         if (!hu.valid) return RIO_E_FORMAT;
         int ssss = bits.decode(hu);
-        if (ssss < 0) return RIO_E_FORMAT;
+        // ssss is a file-controlled table byte; >16 would shift by up to
+        // 255 in bits.get/lj_extend (UB) — T.81 caps DC classes at 16
+        if (ssss < 0 || ssss > 16) return RIO_E_FORMAT;
         int diff = ssss == 0 ? 0
                  : ssss == 16 ? 32768
                               : lj_extend(bits.get(ssss), ssss);
@@ -797,7 +803,8 @@ int parse(Raw& r) {
       r.has_black = true;
       r.warnings |= RIO_W_DEFAULT_BLACK;
     }
-    if (r.white <= 0 && r.bits) r.white = (double)((1u << r.bits) - 1);
+    if (r.white <= 0 && r.bits && r.bits <= 16)
+      r.white = (double)((1u << r.bits) - 1);
   }
   // Dimension sanity: corrupted width/height tags would otherwise drive
   // the decode loops for billions of iterations (a fuzz-found hang) or
@@ -808,6 +815,10 @@ int parse(Raw& r) {
     return RIO_E_FORMAT;
   if ((uint64_t)r.full_width * r.full_height > 400000000ull)
     return RIO_E_FORMAT;
+  // No raw format we decode exceeds 16 bits/sample; a corrupted
+  // BitsPerSample tag would otherwise reach (1u << r.bits) below/at
+  // decode with an oversized shift exponent (UB).
+  if (r.bits > 16) return RIO_E_FORMAT;
   return RIO_OK;
 }
 

@@ -87,6 +87,40 @@ def test_engine_checkpoint_roundtrip(tmp_path, clean_store):
         onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
 
 
+def test_restore_params_skips_opt_state_and_diagnoses_mismatch(tmp_path, clean_store):
+    """restore_params must (a) round-trip params without needing an
+    optimizer template, (b) reject a wrong-arch template with a per-leaf
+    diagnostic naming the offending path, not an opaque orbax error."""
+    import jax
+    import pytest
+
+    from eld_tpu.train.checkpoints import restore_params
+
+    cfg = small_cfg(tmp_path)
+    engine = Engine(cfg)
+    engine.state = engine.state.replace(epoch=engine.state.epoch + 3)
+    path = engine.save(label="latest")
+
+    params, epoch, iters = restore_params(path, engine.state.params)
+    assert epoch == 3 and iters == int(engine.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(engine.state.params),
+                    jax.tree_util.tree_leaves(params)):
+        onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+
+    # wrong structure: template with an extra leaf
+    bad = dict(engine.state.params)
+    bad["phantom"] = {"kernel": onp.zeros((3, 3), onp.float32)}
+    with pytest.raises(ValueError, match="phantom"):
+        restore_params(path, bad)
+
+    # wrong shape on the leaves
+    bad2 = jax.tree_util.tree_map(
+        lambda v: onp.zeros(onp.asarray(v).shape + (1,), onp.float32),
+        engine.state.params)
+    with pytest.raises(ValueError, match="shape"):
+        restore_params(path, bad2)
+
+
 def test_engine_numbered_checkpoint_discovery(tmp_path, clean_store):
     from eld_tpu.train.checkpoints import find_checkpoint
 

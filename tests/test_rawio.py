@@ -161,6 +161,53 @@ def test_compressed_decoders_survive_corruption(tmp_path, rng):
                 pass  # clean rejection is fine; anything else is a bug
 
 
+def test_targeted_decoder_corruptions(tmp_path, rng):
+    """Crafted corruptions hitting specific once-reachable UB/OOB classes
+    in the lossless-JPEG path: DHT tables whose counts sum past 256 (would
+    overread LjHuff::vals), SOF3 precision outside T.81's [2,16] (would
+    shift by a negative exponent), and DHT value bytes > 16 decoded as
+    ssss (would shift by up to 255).  Each must reject or decode cleanly."""
+    from tests.cr2_fixture import make_cr2
+
+    data = bytes(make_cr2(rng, visible=(8, 32), borders=(4, 2),
+                          slices=(2, 16), ncomp=2)[0])
+
+    def find_marker(buf, marker):
+        i = buf.find(bytes([0xFF, marker]))
+        assert i >= 0, f"fixture lacks marker {marker:02x}"
+        return i
+
+    # (a) DHT counts sum > 256: set the 16-codes-of-len-16 count to 0xFF
+    dht = find_marker(data, 0xC4)
+    buf = bytearray(data)
+    buf[dht + 4 + 1 + 15] = 0xFF  # counts[16]
+    # also grow the declared segment length so nv <= seglen still holds
+    seglen = (buf[dht + 2] << 8) | buf[dht + 3]
+    buf[dht + 2:dht + 4] = (seglen + 300).to_bytes(2, "big")
+    cases = [bytes(buf)]
+
+    # (b) SOF3 precision 0 and 17
+    sof = find_marker(data, 0xC3)
+    for prec in (0, 17, 255):
+        buf = bytearray(data)
+        buf[sof + 4] = prec
+        cases.append(bytes(buf))
+
+    # (c) a DHT value byte far above 16 (ssss class 0xEE)
+    buf = bytearray(data)
+    buf[dht + 4 + 17] = 0xEE  # first Huffman value
+    cases.append(bytes(buf))
+
+    for i, payload in enumerate(cases):
+        p = tmp_path / f"t{i}.CR2"
+        p.write_bytes(payload)
+        try:
+            raw = rawio.imread(str(p))
+            assert raw.mosaic.shape[0] > 0
+        except (rawio.UnsupportedRawError, ValueError):
+            pass
+
+
 def test_ccm_conversion_roundtrip(rng):
     """ColorMatrix (XYZ->cam) -> cam->sRGB inverts the dcraw recipe and
     preserves white (cam [1,1,1] -> sRGB [1,1,1])."""
