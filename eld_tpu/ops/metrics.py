@@ -128,12 +128,29 @@ def local_error(correct, estimate, window_size: int, window_shift: int):
 
 
 def quality_assess_video(pred, target, data_range=255.0):
-    """Framewise mean PSNR/SSIM for (T, H, W, C) clips — the reference's
-    video branch (``util/index.py:84-93``) minus STRRED (its skvideo
-    dependency has no maintained JAX/NumPy-2 equivalent; framewise
-    PSNR/SSIM are the metrics the papers report)."""
+    """Framewise mean PSNR/SSIM + ST-RRED for (T, H, W, C) clips — the
+    reference's video branch (``util/index.py:84-93``).  STRRED comes
+    from ``ops/strred.py`` (from-the-paper implementation; skvideo, the
+    reference's own backend, is unmaintained and absent here — see that
+    module's docstring for the documented subband deviation).  As in the
+    reference, single-frame clips report STRRED 0."""
     pred = jnp.asarray(pred)
     target = jnp.asarray(target)
     psnrs = jax.vmap(lambda a, b: psnr(a, b, data_range))(pred, target)
     ssims = jax.vmap(lambda a, b: ssim(a, b, data_range))(pred, target)
-    return {"PSNR": float(jnp.mean(psnrs)), "SSIM": float(jnp.mean(ssims))}
+    out = {"PSNR": float(jnp.mean(psnrs)), "SSIM": float(jnp.mean(ssims))}
+    if pred.shape[0] != 1:
+        from eld_tpu.ops.strred import strred
+
+        def _gray(x):  # packed raw via raw2gray; RGB via the same luma
+            if x.shape[-1] == 4:
+                return raw2gray(x)
+            r, g, b = x[..., 0], x[..., 1], x[..., 2]
+            return 0.299 * r + 0.587 * g + 0.114 * b
+
+        _, out["STRRED"], out["STRREDSN"] = strred(
+            _gray(target) / data_range, _gray(pred) / data_range)
+    else:
+        out["STRRED"] = 0.0
+        out["STRREDSN"] = 0.0
+    return out

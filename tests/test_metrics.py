@@ -93,3 +93,48 @@ def test_raw2gray(rng):
     g = raw2gray(x)
     assert g.shape == (2, 8, 8)
     onp.testing.assert_allclose(onp.asarray(g), 1.0, rtol=1e-5)
+
+
+def test_strred_properties(rng):
+    """Metamorphic validation of the from-the-paper ST-RRED (skvideo, the
+    reference's backend, is absent/unmaintained — ops/strred.py docstring):
+    zero for identical clips, strictly increasing with distortion level,
+    finite and non-negative, correct per-frame shape, and wired into
+    quality_assess_video exactly like the reference's video branch."""
+    import pytest
+
+    from eld_tpu.ops.metrics import quality_assess_video
+    from eld_tpu.ops.strred import strred
+
+    t, h, w = 4, 96, 128
+    base = rng.random((t, h, w), dtype=onp.float32)
+    # smooth the clip a little so it has natural-image-like correlation
+    base = 0.5 * (base + onp.roll(base, 1, axis=1))
+
+    per, s0, sn0 = strred(base, base)
+    assert per.shape == (t - 1, 2)
+    assert s0 == pytest.approx(0.0, abs=1e-9)
+    assert sn0 == pytest.approx(0.0, abs=1e-9)
+
+    scores = []
+    for amp in (0.02, 0.08, 0.3):
+        noisy = onp.clip(
+            base + rng.normal(0, amp, base.shape).astype(onp.float32), 0, 1)
+        _, s, sn = strred(base, noisy)
+        assert onp.isfinite(s) and s >= 0 and onp.isfinite(sn) and sn >= 0
+        scores.append(s)
+    assert scores[0] < scores[1] < scores[2], scores
+
+    with pytest.raises(ValueError):
+        strred(base[:1], base[:1])
+    with pytest.raises(ValueError):
+        strred(base, base[:, : h // 2])
+
+    clip = (base[..., None].repeat(4, axis=-1) * 255).astype(onp.float32)
+    noisy_clip = onp.clip(clip + 25.0, 0, 255)
+    res = quality_assess_video(clip, noisy_clip)
+    assert set(res) == {"PSNR", "SSIM", "STRRED", "STRREDSN"}
+    assert res["STRRED"] >= 0 and onp.isfinite(res["STRRED"])
+    # single-frame clips report 0, mirroring util/index.py:87-91
+    res1 = quality_assess_video(clip[:1], noisy_clip[:1])
+    assert res1["STRRED"] == 0.0 and res1["STRREDSN"] == 0.0
