@@ -96,15 +96,32 @@ class PatchStore:
             self.shape = tuple(int(d) for d in dims)
             self.dtype = _CODE_DTYPES[_LIB.ps_dtype(self._h)]
         else:
-            # NumPy memmap fallback over the same format
+            # NumPy memmap fallback over the same format.  The header is
+            # file-controlled: validate it (same bounds as the native
+            # reader) so corruption/truncation raises instead of feeding
+            # garbage geometry to the memmap.
             hdr = onp.fromfile(bin_path, dtype=onp.uint8, count=_HEADER_BYTES)
+            if len(hdr) < _HEADER_BYTES:
+                raise ValueError(f"{bin_path}: truncated patchstore header")
             magic = hdr[:4].view(onp.uint32)[0]
-            assert magic == 0x31535045, f"bad patchstore magic in {bin_path}"
-            dtype_code, ndim = hdr[4:12].view(onp.uint32)[:2]
+            if magic != 0x31535045:
+                raise ValueError(f"{bin_path}: bad patchstore magic {magic:#x}")
+            dtype_code, ndim = (int(v) for v in hdr[4:12].view(onp.uint32)[:2])
+            if dtype_code not in _CODE_DTYPES or not 1 <= ndim <= 8:
+                raise ValueError(
+                    f"{bin_path}: bad header (dtype code {dtype_code}, ndim {ndim})")
             dims = hdr[16:80].view(onp.uint64)[:ndim]
             self._count = int(hdr[80:88].view(onp.uint64)[0])
             self.shape = tuple(int(d) for d in dims)
-            self.dtype = _CODE_DTYPES[int(dtype_code)]
+            self.dtype = _CODE_DTYPES[dtype_code]
+            record_bytes = int(onp.prod(self.shape, dtype=onp.uint64)) * \
+                onp.dtype(self.dtype).itemsize
+            need = _HEADER_BYTES + self._count * record_bytes
+            have = os.path.getsize(bin_path)
+            if record_bytes == 0 or any(d == 0 for d in self.shape) or have < need:
+                raise ValueError(
+                    f"{bin_path}: header claims {self._count} records of shape "
+                    f"{self.shape} ({need} bytes) but the file has {have}")
             self._mm = onp.memmap(bin_path, dtype=self.dtype, mode="r",
                                   offset=_HEADER_BYTES,
                                   shape=(self._count, *self.shape))

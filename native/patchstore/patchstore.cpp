@@ -101,13 +101,28 @@ void* ps_open(const char* data_bin_path) {
   s->base = static_cast<const uint8_t*>(base);
   s->map_bytes = st.st_size;
   std::memcpy(&s->hdr, base, sizeof(Header));
-  if (s->hdr.magic != kMagic || dtype_size(s->hdr.dtype) == 0) {
+  // Header sanity — all fields are file-controlled.  ndim must stay
+  // within dims[8] (record_elems/ps_dims would otherwise read past the
+  // struct), the element product must not overflow, and count *
+  // record_bytes must fit inside the mapped file (a truncated or
+  // corrupted count would otherwise SIGBUS on the first record read).
+  bool ok = s->hdr.magic == kMagic && dtype_size(s->hdr.dtype) != 0 &&
+            s->hdr.ndim >= 1 && s->hdr.ndim <= 8;
+  uint64_t elems = 1;
+  for (uint32_t i = 0; ok && i < s->hdr.ndim; ++i) {
+    uint64_t d = s->hdr.dims[i];
+    if (d == 0 || d > (1ull << 32) || elems > (1ull << 40) / d) ok = false;
+    else elems *= d;
+  }
+  uint64_t rb = ok ? elems * dtype_size(s->hdr.dtype) : 0;
+  if (!ok || rb == 0 ||
+      s->hdr.count > ((uint64_t)st.st_size - kHeaderBytes) / rb) {
     munmap(base, st.st_size);
     ::close(fd);
     delete s;
     return nullptr;
   }
-  s->record_bytes = record_elems(s->hdr) * dtype_size(s->hdr.dtype);
+  s->record_bytes = (size_t)rb;
   return s;
 }
 

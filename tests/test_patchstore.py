@@ -88,3 +88,48 @@ def test_size_repeat_virtualization(tmp_path):
 def test_missing_store():
     with pytest.raises(FileNotFoundError):
         PatchStore("/nonexistent/db.eps")
+
+
+def test_corrupt_header_rejected(tmp_path):
+    """Corrupted/truncated data.bin must raise a clean ValueError in both
+    the native and NumPy readers — never hand garbage geometry to mmap
+    (native previously trusted ndim/count and could read past dims[8] or
+    SIGBUS past the mapped file)."""
+    import pytest
+
+    from eld_tpu.data.patchstore import PatchStore, PatchStoreWriter
+
+    base = tmp_path / "db"
+    with PatchStoreWriter(str(base), (4, 6, 2)) as w:
+        for i in range(3):
+            w.append(onp.full((4, 6, 2), i, onp.uint16))
+    bin_path = base / "data.bin"
+    good = bin_path.read_bytes()
+
+    def corrupt(offset, value, dtype):
+        buf = bytearray(good)
+        buf[offset:offset + onp.dtype(dtype).itemsize] = onp.asarray(
+            [value], dtype).tobytes()
+        return bytes(buf)
+
+    cases = {
+        "bad_magic": corrupt(0, 0xDEAD, onp.uint32),
+        "bad_dtype": corrupt(4, 77, onp.uint32),
+        "ndim_over_8": corrupt(8, 40, onp.uint32),
+        "ndim_zero": corrupt(8, 0, onp.uint32),
+        "zero_dim": corrupt(16, 0, onp.uint64),
+        "huge_dim_overflow": corrupt(16, 1 << 60, onp.uint64),
+        "count_past_eof": corrupt(80, 10**9, onp.uint64),
+        "truncated_records": good[:4096 + 50],
+    }
+    for name, payload in cases.items():
+        for use_native in (True, False):
+            d = tmp_path / f"{name}_{use_native}"
+            d.mkdir()
+            (d / "data.bin").write_bytes(payload)
+            with pytest.raises(ValueError):
+                PatchStore(str(d), use_native=use_native)
+
+    # the intact store still opens on both paths
+    assert PatchStore(str(base), use_native=True)[1].shape == (4, 6, 2)
+    assert PatchStore(str(base), use_native=False)[1].shape == (4, 6, 2)
