@@ -293,7 +293,12 @@ class ELDEvalDataset(Dataset):
 
         raw_t = rawio.imread(target_path)
         raw_i = rawio.imread(input_path)
-        ratio = (raw_t.iso * raw_t.exposure) / (raw_i.iso * raw_i.exposure)
+        denom = raw_i.iso * raw_i.exposure
+        if denom <= 0:
+            raise ValueError(
+                f"{input_path}: EXIF iso*exposure is {denom} — cannot derive "
+                "the amplification ratio (missing/corrupt EXIF)")
+        ratio = (raw_t.iso * raw_t.exposure) / denom
 
         inp = onp.clip(raw_i.packed() * ratio, 0.0, 1.0)
         tgt = onp.clip(raw_t.packed(), 0.0, 1.0)

@@ -145,6 +145,11 @@ class RawFile:
     def packed(self) -> onp.ndarray:
         """Black/white-normalized packed planes in [0,1], channels-last —
         the reference's ``pack_raw_bayer`` / ``pack_raw_xtrans`` output."""
+        if not self.white_level > float(onp.max(self.black_level)):
+            # a division by <= 0 would clip sign-flipped garbage into [0,1]
+            raise UnsupportedRawError(
+                f"white level {self.white_level} <= black level "
+                f"{self.black_level.tolist()} — corrupt level metadata")
         if self.cfa == "bayer":
             offs = self.pattern_offsets()
             out = pack_bayer(self.mosaic.astype(onp.float32), offsets=offs)

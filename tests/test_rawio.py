@@ -563,3 +563,24 @@ def test_nef_eld_eval_dataset(tmp_path, rng):
     item = ds[0]
     assert item["input"].shape == (4, 16, 4)
     assert item["ratio"] == pytest.approx(12.5)
+
+
+def test_degenerate_levels_rejected(rng):
+    """white <= black (possible from corrupt-but-parseable metadata) must
+    raise instead of clipping sign-flipped garbage into [0,1]."""
+    import pytest
+
+    raw = rawio.RawFile(
+        mosaic=onp.full((4, 4), 600, onp.uint16),
+        black_level=onp.full(4, 512.0, onp.float32),
+        white_level=512.0,  # == black
+        cfa_pattern=onp.array([[0, 1], [3, 2]], onp.uint8),
+        wb=onp.ones(4, onp.float32), ccm=onp.eye(3, dtype=onp.float32),
+        iso=100.0, exposure=0.1)
+    with pytest.raises(rawio.UnsupportedRawError, match="white level"):
+        raw.packed()
+    raw.white_level = 300.0  # < black
+    with pytest.raises(rawio.UnsupportedRawError):
+        raw.packed()
+    raw.white_level = 16383.0
+    assert raw.packed().shape == (2, 2, 4)
