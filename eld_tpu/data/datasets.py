@@ -299,6 +299,11 @@ class ELDEvalDataset(Dataset):
                 f"{input_path}: EXIF iso*exposure is {denom} — cannot derive "
                 "the amplification ratio (missing/corrupt EXIF)")
         ratio = (raw_t.iso * raw_t.exposure) / denom
+        if ratio <= 0:
+            raise ValueError(
+                f"{target_path}: EXIF iso*exposure is "
+                f"{raw_t.iso * raw_t.exposure} — amplification ratio {ratio} "
+                "is degenerate (missing/corrupt EXIF)")
 
         inp = onp.clip(raw_i.packed() * ratio, 0.0, 1.0)
         tgt = onp.clip(raw_t.packed(), 0.0, 1.0)

@@ -36,8 +36,6 @@ PSNR/SSIM only.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -75,8 +73,12 @@ def _est_params(y):
           .transpose(0, 2, 1, 3).reshape(-1, _BLK * _BLK))
     bc = b - b.mean(axis=0)
     cov = bc.T @ bc / b.shape[0]
-    lam = jnp.clip(jnp.linalg.eigvalsh(cov), 0.0)
-    cinv = jnp.linalg.pinv(cov)
+    # one symmetric eigendecomposition serves both the eigenvalues and
+    # the pseudo-inverse (cov is PSD)
+    lam_raw, vec = jnp.linalg.eigh(cov)
+    lam = jnp.clip(lam_raw, 0.0)
+    inv_lam = jnp.where(lam > 1e-12 * jnp.max(lam), 1.0 / lam, 0.0)
+    cinv = (vec * inv_lam[None, :]) @ vec.T
     ss = jnp.clip(jnp.einsum("ni,ij,nj->n", bc, cinv, bc) / (_BLK * _BLK), 0.0)
     ent = 0.5 * jnp.sum(
         jnp.log2(2.0 * jnp.pi * jnp.e * (ss[:, None] * lam[None, :] + _SIGMA_NSQ)),
@@ -95,7 +97,7 @@ def _extract_info(frame1, frame2):
     return spatial, temporal
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def _strred_pairs(ref, dis):
     def one(r0, r1, d0, d1):
         sp_r, tp_r = _extract_info(r0, r1)

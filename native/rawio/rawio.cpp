@@ -425,8 +425,13 @@ int lj_parse_header(const uint8_t* d, size_t n, LjFrame* f) {
       if (seglen < 1) return RIO_E_FORMAT;
       int ns = seg[0];
       if (seglen < 1 + 2 * (size_t)ns + 3) return RIO_E_FORMAT;
-      for (int i = 0; i < ns && i < 4; ++i)
-        f->comp_table[i] = seg[2 + 2 * i] >> 4;
+      for (int i = 0; i < ns && i < 4; ++i) {
+        int td = seg[2 + 2 * i] >> 4;
+        // Td selects into huff[4]; the nibble can reach 15 in a crafted
+        // file and would index the stack LjFrame out of bounds
+        if (td > 3) return RIO_E_FORMAT;
+        f->comp_table[i] = td;
+      }
       f->psv = seg[1 + 2 * ns];  // Ss field = predictor selector
       f->scan_off = p + 2 + len;
       return (f->width && f->height && f->ncomp) ? RIO_OK : RIO_E_FORMAT;

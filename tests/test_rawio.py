@@ -198,6 +198,12 @@ def test_targeted_decoder_corruptions(tmp_path, rng):
     buf[dht + 4 + 17] = 0xEE  # first Huffman value
     cases.append(bytes(buf))
 
+    # (d) SOS Td nibble 15: would index huff[4] out of bounds in lj_decode
+    sos = find_marker(data, 0xDA)
+    buf = bytearray(data)
+    buf[sos + 6] = 0xF0  # first component's Td<<4|Ta byte
+    cases.append(bytes(buf))
+
     for i, payload in enumerate(cases):
         p = tmp_path / f"t{i}.CR2"
         p.write_bytes(payload)

@@ -293,8 +293,12 @@ def ref_eld_model():
     whole reference runtime (rawpy, util.*, models.*), none of which the
     two methods under test touch, so those imports are satisfied with
     inert stubs; base_model is loaded for real via a package shim so the
-    relative import resolves."""
+    relative import resolves.  Every sys.modules entry this fixture adds
+    is removed on teardown so the stubs can't shadow real imports for the
+    rest of the session."""
     import types
+
+    added = []
 
     def stub(name, **attrs):
         if name in sys.modules:
@@ -303,25 +307,33 @@ def ref_eld_model():
         for k, v in attrs.items():
             setattr(mod, k, v)
         sys.modules[name] = mod
+        added.append(name)
         return mod
 
-    stub("rawpy")
-    u = stub("util")
-    u.util = stub("util.util")
-    u.index = stub("util.index")
-    u.process = stub("util.process")
-    pkg = types.ModuleType("refmodels")
-    pkg.__path__ = [os.path.join(REFERENCE, "models")]
-    sys.modules["refmodels"] = pkg
-    m = stub("models", arch=types.SimpleNamespace(), losses=types.SimpleNamespace())
-    m.networks = stub("models.networks")
-    _load_module("models/base_model.py", "refmodels.base_model")
-    spec = importlib.util.spec_from_file_location(
-        "refmodels.ELD_model", os.path.join(REFERENCE, "models/ELD_model.py"))
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["refmodels.ELD_model"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    try:
+        stub("rawpy")
+        u = stub("util")
+        u.util = stub("util.util")
+        u.index = stub("util.index")
+        u.process = stub("util.process")
+        pkg = types.ModuleType("refmodels")
+        pkg.__path__ = [os.path.join(REFERENCE, "models")]
+        sys.modules["refmodels"] = pkg
+        added.append("refmodels")
+        m = stub("models", arch=types.SimpleNamespace(), losses=types.SimpleNamespace())
+        m.networks = stub("models.networks")
+        _load_module("models/base_model.py", "refmodels.base_model")
+        added.append("refmodels.base_model")
+        spec = importlib.util.spec_from_file_location(
+            "refmodels.ELD_model", os.path.join(REFERENCE, "models/ELD_model.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refmodels.ELD_model"] = mod
+        added.append("refmodels.ELD_model")
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
 
 
 @pytest.mark.parametrize("hw", [(96, 148), (112, 112), (300, 452)])
