@@ -105,6 +105,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ratio_sweep", action="store_true",
                    help="add a calibrated full-ELD exposure-ratio sweep eval")
+    p.add_argument("--lr_decay", action="store_true",
+                   help="apply the reference's step schedule scaled to the "
+                        "budget: x0.5 at 50%% and x0.1 at 90%% of steps "
+                        "(train_syn.py:99-105, epochs 100/180 of 200)")
     ns = p.parse_args(argv)
 
     rng = onp.random.default_rng(ns.seed)
@@ -124,7 +128,17 @@ def main(argv=None):
 
     base = jax.random.PRNGKey(ns.seed + 1)
 
+    from eld_tpu.train.state import set_learning_rate
+
+    def lr_at(i):
+        if not ns.lr_decay:
+            return ns.lr
+        frac = i / max(ns.steps, 1)
+        return ns.lr * (1.0 if frac < 0.5 else 0.5 if frac < 0.9 else 0.1)
+
     def run_step(i, state):
+        if ns.lr_decay and lr_at(i) != lr_at(i - 1):
+            state = set_learning_rate(state, lr_at(i))
         k_pick, k_step = jax.random.split(jax.random.fold_in(base, i))
         return step(state, {"clean": pick(k_pick)}, k_step)
 
