@@ -63,6 +63,8 @@ class Config:
     k_mode: str = "overridden"  # noise K sampling: overridden|calibrated
     profile: bool = False      # jax.profiler trace of the first train steps
     async_ckpt: bool = True    # overlap checkpoint writes with training
+    multihost: bool = False    # initialize jax.distributed (TPU pods); the
+                               # train loaders then shard rows per host
 
     @property
     def in_channels(self) -> int:
@@ -114,6 +116,7 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
     t.add_argument("--k_mode", type=str, default="overridden",
                    choices=["overridden", "calibrated"])
     t.add_argument("--profile", action="store_true")
+    t.add_argument("--multihost", action="store_true")
     t.add_argument("--no-async-ckpt", dest="async_ckpt", action="store_false")
 
     if train:

@@ -65,6 +65,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host pytree of (N, ...) arrays with batch sharded on data."""
+    """Device-put a host pytree of (N, ...) arrays with batch sharded on data.
+
+    Single-process: a plain sharded device_put.  Multi-process (TPU pod):
+    each process holds only ITS rows of the global batch (the Loader's
+    ``shard=(rank, world)`` slicing), so the global array is assembled
+    with ``jax.make_array_from_process_local_data``.
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, onp.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -39,12 +39,19 @@ def main(argv=None):
     cfg = config_mod.parse(rest, train=True)
     cfg.noise = ""  # paired mode
 
+    shard = (0, 1)
+    if cfg.multihost:
+        from eld_tpu.parallel.multihost import initialize_multihost
+
+        shard = initialize_multihost()
+
     input_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_in, cfg.crf, "input")))
     target_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_out, cfg.crf, "target")))
     train_ds = ELDTrainDataset(target_store, [input_store],
                                rng=onp.random.default_rng(cfg.seed))
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
-                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
+                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True,
+                          shard=shard)
 
     eval_loaders = {}
     try:

@@ -51,6 +51,12 @@ def main(argv=None, extra=None):
     ns, rest = pre.parse_known_args(argv)
     cfg = config_mod.parse(rest, train=True)
 
+    shard = (0, 1)
+    if cfg.multihost:
+        from eld_tpu.parallel.multihost import initialize_multihost
+
+        shard = initialize_multihost()
+
     if cfg.stage_in == "srgb" or cfg.stage_out == "srgb":
         store = PatchStore(join(ns.traindir, "SID_Sony_SRGB_CRF.eps"
                                 if cfg.crf else "SID_Sony_SRGB.eps"),
@@ -72,7 +78,8 @@ def main(argv=None, extra=None):
                                      rng=onp.random.default_rng(cfg.seed))
 
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
-                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True)
+                          num_workers=cfg.n_threads, seed=cfg.seed, drop_last=True,
+                          shard=shard)
 
     crf = None
     if cfg.crf:

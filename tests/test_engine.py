@@ -179,6 +179,7 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
         "--epochs", "2", "--name", "cli_t", "--noise", "pg", "--include", "4",
         "-b", "4", "--mesh_data", "2", "--checkpoints_dir", str(tmp_path / "ckpt"),
         "--no-log", "--no-verbose", "--nThreads", "0",
+        "--multihost",  # single-process: must no-op into shard (0, 1)
     ])
     assert engine.epoch == 2
     assert engine.iterations == 4

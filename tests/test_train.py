@@ -120,3 +120,30 @@ def test_u16_device_normalize_matches_f32(bank, tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-6)
+
+
+def test_multihost_helpers_single_process(monkeypatch, rng):
+    """Single-process: host_shard is (0, 1) and initialize_multihost is a
+    safe no-op.  The multi-process shard_batch branch (assembling global
+    arrays from process-local rows via make_array_from_process_local_data)
+    is exercised by forcing the branch — with one real process the local
+    rows ARE the global batch, so it must produce arrays identical to the
+    plain device_put path."""
+    import jax
+
+    from eld_tpu.parallel import make_mesh, MeshSpec
+    from eld_tpu.parallel import mesh as mesh_mod
+    from eld_tpu.parallel.multihost import host_shard, initialize_multihost
+
+    assert host_shard() == (0, 1)
+    assert initialize_multihost() == (0, 1)
+
+    mesh = make_mesh(MeshSpec(data=4, spatial=1), jax.devices()[:4])
+    batch = {"clean": rng.random((8, 16, 16, 4)).astype(onp.float32)}
+    plain = shard_batch(mesh, batch)
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    forced = mesh_mod.shard_batch(mesh, batch)
+    assert forced["clean"].sharding == plain["clean"].sharding
+    onp.testing.assert_array_equal(onp.asarray(forced["clean"]),
+                                   onp.asarray(plain["clean"]))
