@@ -39,11 +39,9 @@ def main(argv=None):
     cfg = config_mod.parse(rest, train=True)
     cfg.noise = ""  # paired mode
 
-    shard = (0, 1)
-    if cfg.multihost:
-        from eld_tpu.parallel.multihost import initialize_multihost
+    from eld_tpu.parallel.multihost import maybe_initialize_multihost
 
-        shard = initialize_multihost()
+    shard = maybe_initialize_multihost(cfg)
 
     input_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_in, cfg.crf, "input")))
     target_store = PatchStore(join(ns.traindir, _store_name(cfg.stage_out, cfg.crf, "target")))

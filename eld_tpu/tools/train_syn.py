@@ -51,11 +51,9 @@ def main(argv=None, extra=None):
     ns, rest = pre.parse_known_args(argv)
     cfg = config_mod.parse(rest, train=True)
 
-    shard = (0, 1)
-    if cfg.multihost:
-        from eld_tpu.parallel.multihost import initialize_multihost
+    from eld_tpu.parallel.multihost import maybe_initialize_multihost
 
-        shard = initialize_multihost()
+    shard = maybe_initialize_multihost(cfg)
 
     if cfg.stage_in == "srgb" or cfg.stage_out == "srgb":
         store = PatchStore(join(ns.traindir, "SID_Sony_SRGB_CRF.eps"

@@ -54,6 +54,22 @@ class Engine:
         self.throughput = ThroughputMeter()
         self._key = jax.random.PRNGKey(cfg.seed)
 
+        # multi-process coherence: on a pod, running without --multihost
+        # would stitch duplicate per-host batches into the global array
+        # (every host loads all rows) — refuse loudly instead.
+        self.host0 = jax.process_index() == 0
+        if jax.process_count() > 1:
+            if not cfg.multihost:
+                raise RuntimeError(
+                    f"{jax.process_count()} JAX processes are present but "
+                    "cfg.multihost is not set; every host would load "
+                    "duplicate batches. Pass --multihost.")
+            if cfg.mesh_spatial > 1:
+                raise NotImplementedError(
+                    "spatially-sharded eval is not supported across hosts "
+                    "(eval items are process-local); use --mesh_spatial 1 "
+                    "under --multihost")
+
         self.mesh = mesh or make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_spatial))
         # a 1-device mesh is plain jit: keeps buffer donation and the
         # direct (non-shard_map) Pallas noise path, both of which are
@@ -116,7 +132,8 @@ class Engine:
             self._fwd = make_eval_forward(self.model, chop=cfg.chop)
 
         os.makedirs(cfg.save_dir, exist_ok=True)
-        if not cfg.no_log:
+        if not cfg.no_log and self.host0:
+            # process 0 owns all observability/checkpoint writes on pods
             self.writer = get_summary_writer(os.path.join(cfg.save_dir, "logs"))
 
         if cfg.resume or cfg.model_path:
@@ -180,7 +197,7 @@ class Engine:
             meters.update({k: float(v) for k, v in metrics.items()})
             progress(i, n, f"{meters} | {self.throughput.items_per_sec:.1f} patches/s",
                      every=10)
-            if not cfg.no_log:
+            if self.writer is not None:
                 write_loss(self.writer, "train", meters, step_idx)
 
         for i, sharded in enumerate(prefetch_to_device(loader, self.mesh)):
@@ -285,12 +302,16 @@ class Engine:
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
              correct: bool = True, crop: bool = True, **kw):
         meters = AverageMeters()
+        if not self.host0:
+            # params are replicated: other hosts would duplicate the exact
+            # same eval and race process 0 on the best-checkpoint write
+            return meters
         n = len(loader)
         for i, item in enumerate(loader):
             res = self.eval_one(item, correct=correct, crop=crop, savedir=savedir, **kw)
             meters.update(res)
             progress(i, n, str(meters))
-        if not self.cfg.no_log:
+        if self.writer is not None:
             write_loss(self.writer, os.path.join("eval", dataset_name), meters, self.epoch)
         if loss_key is not None and meters[loss_key] < self.best_val_loss:
             self.best_val_loss = meters[loss_key]
@@ -322,6 +343,8 @@ class Engine:
 
     # ---- checkpoints ----
     def save(self, label: Optional[str] = None, wait: bool = False):
+        if not self.host0:
+            return None  # process 0 owns the checkpoint dir on pods
         path = ckpt.save_checkpoint(self.cfg.save_dir, self.state, label,
                                     async_=self.cfg.async_ckpt)
         if wait:

@@ -268,3 +268,32 @@ def test_vis_data_cli(tmp_path, clean_store):
     vis_data.main(["--store", clean_store, "--outdir", outdir, "-n", "3",
                    "--noise", "g"])
     assert len(os.listdir(outdir)) == 3
+
+
+def test_multiprocess_coherence_and_host0_gating(tmp_path, clean_store, monkeypatch):
+    """On a multi-process runtime the Engine must (a) refuse to run
+    without cfg.multihost (silent batch duplication otherwise), and
+    (b) with it, gate checkpoint writes and eval to process 0."""
+    import pytest
+
+    import eld_tpu.train.engine as engine_mod
+
+    cfg = small_cfg(tmp_path)
+    monkeypatch.setattr(engine_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(RuntimeError, match="multihost"):
+        Engine(cfg)
+
+    cfg2 = small_cfg(tmp_path)
+    cfg2.multihost = True
+    cfg2.mesh_spatial = 2
+    with pytest.raises(NotImplementedError, match="spatial"):
+        Engine(cfg2)
+
+    cfg3 = small_cfg(tmp_path, no_log=False)
+    cfg3.multihost = True
+    monkeypatch.setattr(engine_mod.jax, "process_index", lambda: 1)
+    eng = Engine(cfg3)
+    assert not eng.host0
+    assert eng.writer is None          # TB owned by process 0
+    assert eng.save(label="latest") is None  # checkpoints owned by process 0
+    assert len(list(eng.eval([], dataset_name="x").keys())) == 0  # eval skipped
