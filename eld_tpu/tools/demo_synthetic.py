@@ -51,6 +51,37 @@ def make_scenes(rng, n, size=512):
     return out
 
 
+def make_scenes_device(key, n, size=512, chunk=16):
+    """Same scene family, generated ON DEVICE (jit + vmap).  Large clean
+    sets (n_train >= ~100 at 512^2 is a GB of f32) would otherwise crawl
+    through this rig's tunneled host->device link; on device the data
+    never crosses the wire.  Distribution-equivalent to ``make_scenes``
+    (uniform base/gradients/disks), not bit-identical.  Generation runs
+    in fixed ``chunk``-scene calls so ONE small program compiles once and
+    executes n/chunk times (a single n-wide vmap program takes minutes to
+    compile through this rig's tunnel)."""
+    yy, xx = jnp.mgrid[0:size, 0:size].astype(jnp.float32) / size
+
+    def one(k):
+        kb, kgy, kgx, kc, kr, ka = jax.random.split(k, 6)
+        base = (jax.random.uniform(kb, (4,)) * 0.5
+                + yy[..., None] * (jax.random.uniform(kgy, (4,)) - 0.5) * 0.6
+                + xx[..., None] * (jax.random.uniform(kgx, (4,)) - 0.5) * 0.6)
+        cyx = jax.random.uniform(kc, (6, 2))
+        r = 0.05 + 0.2 * jax.random.uniform(kr, (6,))
+        amp = (jax.random.uniform(ka, (6, 4)) - 0.5) * 0.8
+        d2 = ((yy[None] - cyx[:, 0, None, None]) ** 2
+              + (xx[None] - cyx[:, 1, None, None]) ** 2)
+        masks = jnp.exp(-d2 / (r[:, None, None] ** 2))        # (6, H, W)
+        base = base + jnp.einsum("khw,kc->hwc", masks, amp)
+        return jnp.clip(base, 0.02, 0.98)
+
+    gen = jax.jit(jax.vmap(one))
+    keys = jax.random.split(key, ((n + chunk - 1) // chunk) * chunk)
+    parts = [gen(keys[i:i + chunk]) for i in range(0, len(keys), chunk)]
+    return jnp.concatenate(parts)[:n]
+
+
 def calibrated_params(bank, ratio, cam=0, iso=9, k_q=0.5):
     """Deterministic full-ELD NoiseParams at the CALIBRATED operating point:
     K at quantile ``k_q`` of the camera's calibrated [Kmin, Kmax], read/row
@@ -112,7 +143,12 @@ def main(argv=None):
     ns = p.parse_args(argv)
 
     rng = onp.random.default_rng(ns.seed)
-    train_clean = jnp.asarray(make_scenes(rng, ns.n_train, ns.size))
+    if ns.n_train * ns.size * ns.size * 16 > 2 ** 27:  # >128 MB of clean f32
+        # big clean sets: synthesize on device (the tunneled rig's
+        # host->device link makes GB transfers take tens of minutes)
+        train_clean = make_scenes_device(jax.random.PRNGKey(ns.seed), ns.n_train, ns.size)
+    else:
+        train_clean = jnp.asarray(make_scenes(rng, ns.n_train, ns.size))
     holdout = jnp.asarray(make_scenes(onp.random.default_rng(777), 4, ns.size))
 
     bank = load_camera_params(include=4)

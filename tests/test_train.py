@@ -147,3 +147,22 @@ def test_multihost_helpers_single_process(monkeypatch, rng):
     assert forced["clean"].sharding == plain["clean"].sharding
     onp.testing.assert_array_equal(onp.asarray(forced["clean"]),
                                    onp.asarray(plain["clean"]))
+
+
+def test_device_scene_generator_matches_host_distribution(rng):
+    """demo_synthetic's on-device scene generator (used for clean sets too
+    big for this rig's host->device link) must produce the same scene
+    family as the host generator: same clipping range and first/second
+    moments within tolerance, correct shape with non-multiple-of-chunk n."""
+    import jax
+
+    from eld_tpu.tools.demo_synthetic import make_scenes, make_scenes_device
+
+    dev = onp.asarray(make_scenes_device(jax.random.PRNGKey(0), 40, 96, chunk=16))
+    host = make_scenes(onp.random.default_rng(0), 40, 96)
+    assert dev.shape == host.shape == (40, 96, 96, 4)
+    assert dev.min() >= 0.02 and dev.max() <= 0.98
+    assert abs(dev.mean() - host.mean()) < 0.1
+    assert abs(dev.std() - host.std()) < 0.08
+    # distinct scenes (keys actually vary across chunks)
+    assert onp.std(dev.mean(axis=(1, 2, 3))) > 0.01
