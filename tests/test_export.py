@@ -123,3 +123,34 @@ def test_export_cli_from_torch_pt(tmp_path, rng):
                  "--height", "32", "--width", "32",
                  "--platforms", "cpu", "--out", out])
     assert meta["epoch"] == 200 and meta["iterations"] == 7
+
+
+def test_artifact_version_guard(tmp_path):
+    """Artifacts with a wrong format or a future version must fail with a
+    clear eldx error at load/read time, not a deep jax deserialize one."""
+    model, params = _tiny()
+    path = str(tmp_path / "net.eldx")
+    save_denoiser(path, model, params, 32, 32, platforms=("cpu",))
+
+    def rewrite(meta_patch, name):
+        with zipfile.ZipFile(path) as z:
+            blob = z.read("model.stablehlo")
+            meta = json.loads(z.read("meta.json"))
+        meta.update(meta_patch)
+        out = str(tmp_path / name)
+        with zipfile.ZipFile(out, "w") as z:
+            z.writestr("meta.json", json.dumps(meta))
+            z.writestr("model.stablehlo", blob)
+        return out
+
+    future = rewrite({"version": 99}, "future.eldx")
+    with pytest.raises(ValueError, match="version 99"):
+        load_denoiser(future)
+    with pytest.raises(ValueError, match="version 99"):
+        read_meta(future)
+    alien = rewrite({"format": "other"}, "alien.eldx")
+    with pytest.raises(ValueError, match="not an eldx"):
+        load_denoiser(alien)
+    # the untouched artifact still loads
+    fn, meta = load_denoiser(path)
+    assert meta["version"] == 1
