@@ -145,6 +145,11 @@ def quality_assess_video(pred, target, data_range=255.0):
         def _gray(x):  # packed raw via raw2gray; RGB via the same luma
             if x.shape[-1] == 4:
                 return raw2gray(x)
+            if x.shape[-1] != 3:
+                raise ValueError(
+                    f"STRRED expects 3-channel RGB or 4-channel packed-raw "
+                    f"clips (the reference's domain); got {x.shape[-1]} "
+                    f"channels, shape {x.shape}")
             r, g, b = x[..., 0], x[..., 1], x[..., 2]
             return 0.299 * r + 0.587 * g + 0.114 * b
 

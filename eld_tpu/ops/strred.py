@@ -25,13 +25,18 @@ Algorithm (per consecutive-frame pair):
 
 Documented deviation from skvideo: the subband extractor.  skvideo uses
 a band of Simoncelli's sp5Filters steerable pyramid; those filter
-constants are not available offline, so the subband here is an isotropic
-bandpass at the same scale (3 binomial blur+decimate steps, then
-center-minus-blur).  The entropic-differencing core — the metric itself —
-follows the paper; absolute values are therefore NOT comparable to
-skvideo's, but orderings (more distortion -> larger ST-RRED) are, which
-is what the metric is used for.  The papers' reported results use
-PSNR/SSIM only.
+constants are numerically-designed tables (matlabPyrTools sp5Filters.m),
+verified unreachable in this environment — no skvideo/pyrtools install,
+no copy anywhere on disk, and no network egress to fetch them — so the
+subband here is an isotropic bandpass at the same scale (3 binomial
+blur+decimate steps, then center-minus-blur).  The extractor is
+PLUGGABLE (``strred(..., subband_fn=...)``): when the sp5 tables become
+available, pass a steerable-band extractor and the skvideo-comparable
+variant needs no other change.  The entropic-differencing core — the
+metric itself — follows the paper; absolute values are therefore NOT
+comparable to skvideo's, but orderings (more distortion -> larger
+ST-RRED) are, which is what the metric is used for.  The papers'
+reported results use PSNR/SSIM only.
 """
 
 from __future__ import annotations
@@ -86,10 +91,11 @@ def _est_params(y):
     return ss, ent
 
 
-def _extract_info(frame1, frame2):
+def _extract_info(frame1, frame2, subband_fn=None):
     """Scaled spatial/temporal entropy fields for one frame pair."""
-    y = _subband(frame1)
-    yd = _subband(frame1 - frame2)
+    sb = subband_fn or _subband
+    y = sb(frame1)
+    yd = sb(frame1 - frame2)
     ss, ent = _est_params(y)
     ssd, entd = _est_params(yd)
     spatial = ent * jnp.log2(1.0 + ss)
@@ -97,11 +103,14 @@ def _extract_info(frame1, frame2):
     return spatial, temporal
 
 
-@jax.jit
-def _strred_pairs(ref, dis):
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _strred_pairs(ref, dis, subband_fn=None):
     def one(r0, r1, d0, d1):
-        sp_r, tp_r = _extract_info(r0, r1)
-        sp_d, tp_d = _extract_info(d0, d1)
+        sp_r, tp_r = _extract_info(r0, r1, subband_fn)
+        sp_d, tp_d = _extract_info(d0, d1, subband_fn)
         return (jnp.mean(jnp.abs(sp_r - sp_d)),
                 jnp.mean(jnp.abs(tp_r - tp_d)),
                 jnp.abs(jnp.mean(sp_r) - jnp.mean(sp_d)),
@@ -110,8 +119,12 @@ def _strred_pairs(ref, dis):
     return jax.vmap(one)(ref[:-1], ref[1:], dis[:-1], dis[1:])
 
 
-def strred(reference, distorted):
+def strred(reference, distorted, subband_fn=None):
     """ST-RRED for (T, H, W) grayscale clips in [0, 1], T >= 2.
+
+    ``subband_fn``: optional (H, W) -> coefficients extractor replacing
+    the default isotropic bandpass (the hook for an sp5 steerable band,
+    see module docstring).  Must be jit-traceable.
 
     Returns ``(per_frame, strred, strredsn)`` — the same triple shape the
     reference unpacks from skvideo (``util/index.py:88``): ``per_frame``
@@ -126,7 +139,7 @@ def strred(reference, distorted):
                          f"{ref.shape} vs {dis.shape}")
     if ref.shape[0] < 2:
         raise ValueError("ST-RRED needs at least 2 frames")
-    srred, trred, srred_sn, trred_sn = _strred_pairs(ref, dis)
+    srred, trred, srred_sn, trred_sn = _strred_pairs(ref, dis, subband_fn)
     per_frame = jnp.stack([srred, trred], axis=1)
     return (per_frame,
             float(jnp.mean(srred) * jnp.mean(trred)),

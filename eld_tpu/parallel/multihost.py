@@ -34,17 +34,23 @@ import jax
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> tuple:
+                         process_id: Optional[int] = None,
+                         strict: bool = False) -> tuple:
     """Initialize jax.distributed and return host_shard().
 
     Call this before anything else touches the XLA backend.  Outcomes:
       * cluster found (auto-detected or explicit args) -> initialized;
-      * no cluster environment (ValueError from jax) -> clean
-        single-process fallback;
-      * called too late / twice (RuntimeError from jax) -> LOUD warning,
-        because on a real cluster that means hosts would train
-        independently on duplicate data.
+      * no cluster environment (ValueError from jax) AND no explicit args
+        -> clean single-process fallback;
+      * explicit args given but initialization failed -> re-raised: a
+        typo'd coordinator address must NOT silently degrade into N
+        uncoordinated single-process runs training on duplicate data;
+      * called too late / twice (RuntimeError from jax) -> re-raised when
+        ``strict`` (multihost was explicitly requested) or args were
+        explicit; LOUD warning otherwise.
     """
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -53,9 +59,21 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         )
     except ValueError:
         # "coordinator_address should be defined": no cluster environment
-        # to detect and none given — single-process is the right fallback
-        pass
+        # to detect.  Only a clean single-process fallback when the caller
+        # didn't name a cluster; with explicit args this is a config error.
+        if explicit:
+            raise
     except RuntimeError as e:
+        # typically "initialize() called after backend init" or "already
+        # initialized" — on a real cluster an uncoordinated continuation
+        # means hosts silently train on duplicate data
+        if (strict or explicit) and jax.process_count() == 1:
+            raise RuntimeError(
+                f"multihost was explicitly requested but "
+                f"jax.distributed.initialize() failed: {e}. Call "
+                "initialize_multihost() before any other JAX API use "
+                "(device queries, array creation) initializes the XLA "
+                "backend.") from e
         warnings.warn(
             f"jax.distributed.initialize() failed: {e} — continuing with "
             f"the current topology ({jax.process_count()} process(es)). "
@@ -66,14 +84,41 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 def maybe_initialize_multihost(cfg) -> tuple:
     """CLI bootstrap: initialize when ``cfg.multihost``, then verify the
-    process topology is coherent with the flag (Engine re-checks too)."""
-    shard = initialize_multihost() if cfg.multihost else (0, 1)
+    process topology is coherent with the flag (Engine re-checks too).
+    ``strict=True``: the user asked for multihost by name, so a too-late
+    initialization is an error, not a warning (an early JAX call added to
+    a CLI would otherwise silently un-coordinate a real pod)."""
+    shard = initialize_multihost(strict=True) if cfg.multihost else (0, 1)
     if jax.process_count() > 1 and not cfg.multihost:
         raise RuntimeError(
             f"{jax.process_count()} JAX processes are present but "
             "--multihost was not given; every host would load duplicate "
             "batches. Re-run with --multihost.")
     return shard
+
+
+def broadcast_from_host0(obj, max_bytes: int = 1 << 16):
+    """Broadcast a small JSON-serializable object from process 0 to all
+    processes (single-process: identity).  Used to fan out host-0-only
+    results — e.g. eval meters — so every host returns identical values
+    and agrees on collective decisions like the best-checkpoint save."""
+    if jax.process_count() == 1:
+        return obj
+    import json
+
+    import numpy as onp
+    from jax.experimental import multihost_utils
+
+    buf = onp.zeros(max_bytes, onp.uint8)
+    if jax.process_index() == 0:
+        raw = json.dumps(obj).encode()
+        if len(raw) + 8 > max_bytes:
+            raise ValueError(f"broadcast payload too large ({len(raw)} bytes)")
+        buf[:8] = onp.frombuffer(len(raw).to_bytes(8, "little"), onp.uint8)
+        buf[8:8 + len(raw)] = onp.frombuffer(raw, onp.uint8)
+    out = onp.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(out[:8].tobytes(), "little")
+    return json.loads(out[8:8 + n].tobytes().decode())
 
 
 def host_shard() -> tuple:

@@ -119,6 +119,15 @@ class Engine:
                 mesh=self._step_mesh,
             )
         if self.mesh.shape["spatial"] > 1:
+            if cfg.chop:
+                # both are full-frame memory strategies; picking one
+                # silently would ignore an explicit flag (--chop is the
+                # reference's released eval protocol, scripts/test_ELD.sh)
+                raise ValueError(
+                    "--chop and --mesh_spatial>1 are mutually exclusive: "
+                    "spatial halo sharding replaces the 4-tile chop for "
+                    "full-frame eval. Drop --chop (sharded eval matches "
+                    "the chop protocol's windowing) or use --mesh_spatial 1.")
             # full-frame eval sharded over the spatial axis (halo windows);
             # built ONCE — the returned fn is jit-cached across items
             from eld_tpu.parallel.spatial import make_spatial_forward
@@ -302,17 +311,25 @@ class Engine:
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
              correct: bool = True, crop: bool = True, **kw):
         meters = AverageMeters()
-        if not self.host0:
+        if self.host0:
             # params are replicated: other hosts would duplicate the exact
-            # same eval and race process 0 on the best-checkpoint write
-            return meters
-        n = len(loader)
-        for i, item in enumerate(loader):
-            res = self.eval_one(item, correct=correct, crop=crop, savedir=savedir, **kw)
-            meters.update(res)
-            progress(i, n, str(meters))
-        if self.writer is not None:
-            write_loss(self.writer, os.path.join("eval", dataset_name), meters, self.epoch)
+            # same eval, so only process 0 runs the items...
+            n = len(loader)
+            for i, item in enumerate(loader):
+                res = self.eval_one(item, correct=correct, crop=crop,
+                                    savedir=savedir, **kw)
+                meters.update(res)
+                progress(i, n, str(meters))
+            if self.writer is not None:
+                write_loss(self.writer, os.path.join("eval", dataset_name),
+                           meters, self.epoch)
+        if jax.process_count() > 1:
+            # ...and broadcasts the result, so every host returns identical
+            # meters and agrees on the best-checkpoint decision below (the
+            # save is a collective orbax write all processes must enter)
+            from eld_tpu.parallel.multihost import broadcast_from_host0
+
+            meters = AverageMeters.from_means(broadcast_from_host0(meters.as_dict()))
         if loss_key is not None and meters[loss_key] < self.best_val_loss:
             self.best_val_loss = meters[loss_key]
             self.save(label=f"best_{loss_key}_{dataset_name}")
@@ -343,8 +360,11 @@ class Engine:
 
     # ---- checkpoints ----
     def save(self, label: Optional[str] = None, wait: bool = False):
-        if not self.host0:
-            return None  # process 0 owns the checkpoint dir on pods
+        # Collective: orbax save() opens with a cross-process barrier and
+        # must be entered by ALL processes ("should be called by all
+        # hosts"); it gates the actual file writes to the primary host
+        # internally.  Gating entry to process 0 here would deadlock a pod
+        # at the first checkpoint write.
         path = ckpt.save_checkpoint(self.cfg.save_dir, self.state, label,
                                     async_=self.cfg.async_ckpt)
         if wait:

@@ -179,10 +179,25 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
         "--epochs", "2", "--name", "cli_t", "--noise", "pg", "--include", "4",
         "-b", "4", "--mesh_data", "2", "--checkpoints_dir", str(tmp_path / "ckpt"),
         "--no-log", "--no-verbose", "--nThreads", "0",
-        "--multihost",  # single-process: must no-op into shard (0, 1)
     ])
     assert engine.epoch == 2
     assert engine.iterations == 4
+
+    # --multihost in an already-initialized single process is a hard error
+    # now (strict): the backend came up before initialize() could run, so
+    # on a real pod the hosts would silently train uncoordinated.  (In a
+    # fresh CLI process with no cluster environment it still falls back
+    # cleanly — jax raises ValueError there, not RuntimeError.)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="multihost"):
+        train_syn.main([
+            "--traindir", str(traindir), "--evaldir", str(tmp_path / "missing"),
+            "--epochs", "1", "--name", "cli_t2", "--noise", "pg",
+            "--include", "4", "-b", "4", "--mesh_data", "2",
+            "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--no-log", "--no-verbose", "--nThreads", "0", "--multihost",
+        ])
 
 
 def test_async_checkpoint(tmp_path, clean_store):
@@ -273,7 +288,10 @@ def test_vis_data_cli(tmp_path, clean_store):
 def test_multiprocess_coherence_and_host0_gating(tmp_path, clean_store, monkeypatch):
     """On a multi-process runtime the Engine must (a) refuse to run
     without cfg.multihost (silent batch duplication otherwise), and
-    (b) with it, gate checkpoint writes and eval to process 0."""
+    (b) with it, gate TB/eval work to process 0 while still ENTERING the
+    collective checkpoint save on every process (orbax save barriers
+    across hosts; a host-0-only entry would deadlock a real pod — the
+    true 2-process run is tests/test_multiprocess.py)."""
     import pytest
 
     import eld_tpu.train.engine as engine_mod
@@ -295,5 +313,20 @@ def test_multiprocess_coherence_and_host0_gating(tmp_path, clean_store, monkeypa
     eng = Engine(cfg3)
     assert not eng.host0
     assert eng.writer is None          # TB owned by process 0
-    assert eng.save(label="latest") is None  # checkpoints owned by process 0
-    assert len(list(eng.eval([], dataset_name="x").keys())) == 0  # eval skipped
+    # save is collective: every process must ENTER it (orbax starts with a
+    # global barrier — a host-0-only entry deadlocks).  The real write is
+    # stubbed here because orbax's barrier would see the fake process
+    # count; the genuine 2-process collective is proven in
+    # tests/test_multiprocess.py.
+    calls = []
+    monkeypatch.setattr(engine_mod.ckpt, "save_checkpoint",
+                        lambda *a, **k: calls.append(a) or "/fake/path.ckpt")
+    assert eng.save(label="latest") == "/fake/path.ckpt"
+    assert len(calls) == 1
+    # non-host0 eval runs no items; the meters come from the host-0
+    # broadcast (stubbed to identity — the fake process count would make
+    # the real collective reshape 8 local devices into 2 processes)
+    import eld_tpu.parallel.multihost as mh
+
+    monkeypatch.setattr(mh, "broadcast_from_host0", lambda obj, **k: obj)
+    assert len(list(eng.eval([], dataset_name="x").keys())) == 0

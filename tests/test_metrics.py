@@ -138,3 +138,62 @@ def test_strred_properties(rng):
     # single-frame clips report 0, mirroring util/index.py:87-91
     res1 = quality_assess_video(clip[:1], noisy_clip[:1])
     assert res1["STRRED"] == 0.0 and res1["STRREDSN"] == 0.0
+
+
+def test_strred_pluggable_subband(rng):
+    """The subband extractor is swappable (the sp5-steerable hook — the
+    published tables are unreachable offline, ops/strred.py docstring):
+    a custom extractor must change absolute values but keep the
+    metamorphic ordering, and the 2-channel guard must reject clips
+    outside the reference's 3/4-channel domain."""
+    import jax.numpy as jnp
+    import pytest
+
+    from eld_tpu.ops.metrics import quality_assess_video
+    from eld_tpu.ops.strred import strred
+
+    base = rng.random((4, 96, 128), dtype=onp.float32)
+    base = 0.5 * (base + onp.roll(base, 1, axis=1))
+    noisy = onp.clip(base + rng.normal(0, 0.1, base.shape).astype(onp.float32), 0, 1)
+
+    def laplacian_band(frame):  # a different (valid) bandpass
+        g = frame[::4, ::4]
+        blur = (g + jnp.roll(g, 1, 0) + jnp.roll(g, -1, 0)
+                + jnp.roll(g, 1, 1) + jnp.roll(g, -1, 1)) / 5.0
+        return g - blur
+
+    _, s_def, _ = strred(base, noisy)
+    _, s_lap, _ = strred(base, noisy, subband_fn=laplacian_band)
+    assert s_lap != pytest.approx(s_def)       # extractor actually used
+    _, s_lap0, _ = strred(base, base, subband_fn=laplacian_band)
+    assert s_lap0 == pytest.approx(0.0, abs=1e-9)
+    assert s_lap > s_lap0
+
+    bad = rng.random((3, 32, 32, 2), dtype=onp.float32)
+    with pytest.raises(ValueError, match="channel"):
+        quality_assess_video(bad, bad)
+
+
+def test_loadmat_struct_conversion(tmp_path, rng):
+    """matio.loadmat parity with the reference's util/util.py:278-326:
+    top-level structs -> nested dicts; struct-interior ndarrays (numeric
+    AND cell) -> nested lists; plain top-level arrays pass through."""
+    import scipy.io as spio
+
+    from eld_tpu.utils.matio import loadmat
+
+    path = str(tmp_path / "t.mat")
+    arr = rng.random((3, 2))
+    spio.savemat(path, {
+        "plain": arr,
+        "s": {"a": 1.5, "inner": {"b": onp.arange(4)},
+              "cell": onp.array([onp.arange(2), "txt", 3.0], dtype=object)},
+    })
+    out = loadmat(path)
+    onp.testing.assert_allclose(out["plain"], arr)       # untouched
+    assert isinstance(out["s"], dict)
+    assert out["s"]["a"] == 1.5
+    assert isinstance(out["s"]["inner"], dict)
+    assert out["s"]["inner"]["b"] == [0, 1, 2, 3]        # ndarray -> list
+    cell = out["s"]["cell"]
+    assert cell[0] == [0, 1] and cell[1] == "txt" and cell[2] == 3.0

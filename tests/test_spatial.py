@@ -77,3 +77,18 @@ def test_spatial_pads_misaligned():
     out = fn(None, x)
     assert out.shape == x.shape
     onp.testing.assert_allclose(onp.asarray(out), onp.asarray(x) * 2.0, rtol=1e-6)
+
+
+def test_engine_rejects_chop_with_spatial_mesh(tmp_path):
+    """--chop with --mesh_spatial>1 is an explicit config error (spatial
+    halo sharding replaces the chop), not a silent pick."""
+    import pytest
+
+    from eld_tpu.config import Config
+    from eld_tpu.train.engine import Engine
+
+    cfg = Config(name="t", checkpoints_dir=str(tmp_path / "c"),
+                 is_train=False, mesh_data=1, mesh_spatial=2, chop=True,
+                 no_log=True, no_verbose=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Engine(cfg)
