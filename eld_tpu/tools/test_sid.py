@@ -27,6 +27,11 @@ def main(argv=None):
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--datadir", type=str, default="./data/SID/Sony")
     pre.add_argument("--savedir", type=str, default=None)
+    pre.add_argument(
+        "--pairs", type=str, default=None,
+        help="custom pair list: one 'short_fn long_fn ratio' line per item "
+             "(overrides the vendored indoor-15 subset; lets users evaluate "
+             "their own captures with the released protocol)")
     ns, rest = pre.parse_known_args(argv)
     cfg = config_mod.parse(rest, train=False)
     if not (cfg.resume or cfg.model_path):
@@ -38,8 +43,19 @@ def main(argv=None):
         from eld_tpu.core.emor import load_crf
 
         crf = load_crf()
+    if ns.pairs:
+        buckets: dict = {}
+        with open(ns.pairs) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                buckets.setdefault(int(parts[2]), []).append((parts[0], parts[1]))
+    else:
+        buckets = eval_pairs_by_ratio()
+
     results = {}
-    for ratio, pairs in eval_pairs_by_ratio().items():
+    for ratio, pairs in buckets.items():
         print(f"Eval ratio {ratio}")
         ds = SIDDataset(ns.datadir, pairs, memorize=False, augment=False,
                         stage_in=cfg.stage_in, stage_out=cfg.stage_out,

@@ -1,0 +1,388 @@
+"""END-TO-END protocol parity against the reference's *composed* eval stack.
+
+The unit-level differential tests (``test_reference_diff.py``) diff every
+stage in isolation; this module closes the remaining gap by running the
+reference's own composed pipeline — ``SIDDataset -> DataLoader ->
+ELDModel.eval`` (``/root/reference/test_SID.py:42-49`` ->
+``engine.py:75-99`` -> ``models/ELD_model.py:203-307``) — and our
+``tools/test_sid`` CLI on IDENTICAL inputs with the SAME torch checkpoint,
+then asserts the final averaged PSNR/SSIM agree to +-0.05 dB / 1e-3.
+
+Construction (no SID data is reachable in this environment):
+
+  * Paired raws are synthesized as real uncompressed DNG files
+    (``tests/tiff_fixture.make_dng``) with SID-style exposure-ratio
+    filenames.  OUR stack decodes the actual DNG bytes through the native
+    ``rawio`` decoder; the REFERENCE stack reads ground-truth sidecar
+    ``.npz`` files through a ``rawpy`` stub exposing the rawpy field
+    surface (``raw_image_visible``/``raw_pattern``/
+    ``black_level_per_channel``/``camera_whitebalance``/
+    ``rgb_camera_matrix``).  The two sides therefore share NO decode code:
+    a native-decoder regression shows up as a final-metric divergence.
+  * The checkpoint is a torch-default-init ``UNetSeeInDark`` saved in the
+    reference's ``.pt`` layout ({'netG': state_dict, epoch, iterations},
+    ``ELD_model.py:516-521``); the reference loads it natively, our Engine
+    imports it through ``compat/torch_import.load_torch_checkpoint``.
+  * ``skimage.metrics`` (absent in this image) is stubbed with an
+    independent NumPy implementation of the published algorithms
+    (uniform 7x7 SSIM with sample-covariance normalization, the exact
+    scikit-image defaults the reference calls with ``multichannel=True``,
+    ``util/index.py:76-81``) — so the metric backends differ between the
+    two sides as well (ours is the JAX ``ops/metrics.py``).
+
+Both the straight forward and the ``--chop`` (``forward_chop``) protocol
+variants are covered, at the protocol's real crop geometry (512x512
+center crop over 512x512 packed frames => identity crop, the same no-op
+it is on full SID frames only at center).
+"""
+
+import os
+import sys
+import types
+
+import numpy as onp
+import pytest
+
+torch = pytest.importorskip("torch")
+from scipy.ndimage import uniform_filter  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not mounted"
+)
+
+
+# ---------------------------------------------------------------------------
+# independent skimage.metrics stand-ins (scikit-image published defaults)
+# ---------------------------------------------------------------------------
+
+def _psnr(image_true, image_test, data_range=None):
+    err = onp.mean(
+        (image_true.astype(onp.float64) - image_test.astype(onp.float64)) ** 2)
+    return 10.0 * onp.log10((float(data_range) ** 2) / err)
+
+
+def _ssim_single(x, y, data_range):
+    """scikit-image structural_similarity, gaussian_weights=False defaults:
+    win=7 uniform filter, K1=.01 K2=.03, sample covariance, border crop."""
+    win = 7
+    x = x.astype(onp.float64)
+    y = y.astype(onp.float64)
+    NP = win ** 2
+    cov_norm = NP / (NP - 1.0)
+    f = lambda a: uniform_filter(a, size=win)
+    ux, uy = f(x), f(y)
+    uxx, uyy, uxy = f(x * x), f(y * y), f(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    R = float(data_range)
+    C1, C2 = (0.01 * R) ** 2, (0.03 * R) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    pad = (win - 1) // 2
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def _ssim(im1, im2, data_range=None, multichannel=False, **kw):
+    if multichannel:
+        return float(onp.mean([
+            _ssim_single(im1[..., c], im2[..., c], data_range)
+            for c in range(im1.shape[-1])
+        ]))
+    return float(_ssim_single(im1, im2, data_range))
+
+
+# ---------------------------------------------------------------------------
+# stub modules + reference import
+# ---------------------------------------------------------------------------
+
+class _FakeRaw:
+    """rawpy.imread stand-in reading the fixture's ground-truth sidecar."""
+
+    def __init__(self, path):
+        z = onp.load(path + ".npz")
+        self.raw_image_visible = z["mosaic"].astype(onp.uint16)
+        self.raw_pattern = z["pattern"].astype(onp.int64)
+        self.black_level_per_channel = [int(v) for v in z["black"]]
+        self.camera_whitebalance = z["wb"].astype(onp.float64).copy()
+        # rawpy exposes (3, 4); read_wb_ccm slices [:3, :3]
+        self.rgb_camera_matrix = onp.concatenate(
+            [z["ccm"].astype(onp.float64), onp.zeros((3, 1))], axis=1)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _Interp1d:
+    """torchinterp1d stand-in (absent in this image) — batched linear
+    interpolation via searchsorted, same as test_reference_diff."""
+
+    def __call__(self, x, y, xnew):
+        x, y, xnew = x.double(), y.double(), xnew.double()
+        ind = torch.searchsorted(x.contiguous(), xnew.contiguous()) - 1
+        ind = torch.clamp(ind, 0, x.shape[-1] - 2)
+        x0, x1 = x[..., :-1].gather(-1, ind), x[..., 1:].gather(-1, ind)
+        y0, y1 = y[..., :-1].gather(-1, ind), y[..., 1:].gather(-1, ind)
+        t = (xnew - x0) / torch.clamp(x1 - x0, min=1e-12)
+        return y0 + t * (y1 - y0)
+
+
+def _stub_module(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's models/dataset packages with absent third-party
+    deps stubbed; restore sys.modules/sys.path afterwards."""
+    rawpy = _stub_module("rawpy", imread=_FakeRaw)
+    skimage = _stub_module("skimage")
+    skimage_metrics = _stub_module(
+        "skimage.metrics",
+        structural_similarity=_ssim,
+        peak_signal_noise_ratio=_psnr,
+    )
+    skimage.metrics = skimage_metrics
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("video metrics are not under test here")
+
+    skvideo = _stub_module("skvideo")
+    skvideo_measure = _stub_module("skvideo.measure", strred=_unavailable)
+    skvideo_utils = _stub_module("skvideo.utils", rgb2gray=_unavailable)
+    skvideo.measure, skvideo.utils = skvideo_measure, skvideo_utils
+    exifread = _stub_module("exifread", process_file=_unavailable)
+    tinterp = _stub_module("torchinterp1d", Interp1d=_Interp1d)
+    lmdb = _stub_module("lmdb")
+
+    stubs = {
+        "rawpy": rawpy,
+        "skimage": skimage,
+        "skimage.metrics": skimage_metrics,
+        "skvideo": skvideo,
+        "skvideo.measure": skvideo_measure,
+        "skvideo.utils": skvideo_utils,
+        "exifread": exifread,
+        "torchinterp1d": tinterp,
+        "lmdb": lmdb,
+    }
+    saved = {k: sys.modules.get(k) for k in stubs}
+    ref_top = ("models", "util", "dataset", "options")
+    saved_top = {k: sys.modules.get(k) for k in list(sys.modules)
+                 if k.split(".")[0] in ref_top}
+    for k in saved_top:
+        del sys.modules[k]
+    sys.modules.update(stubs)
+    sys.path.insert(0, REFERENCE)
+
+    # dataset/torchdata.py imports torch._utils._accumulate, removed in
+    # modern torch — shim it with itertools.accumulate (same running sums).
+    import itertools
+
+    import torch._utils as _tu
+
+    shimmed_accumulate = not hasattr(_tu, "_accumulate")
+    if shimmed_accumulate:
+        _tu._accumulate = lambda iterable, fn=None: itertools.accumulate(iterable)
+
+    # util/util.py runs `os.popen('stty size')` at import time (line 185);
+    # headless pytest has no tty, so feed it a fake terminal geometry.
+    real_popen = os.popen
+    os.popen = lambda *a, **k: __import__("io").StringIO("24 80\n")
+    try:
+        import dataset.sid_dataset as ref_sid
+        import models.ELD_model as ref_eldm
+    finally:
+        os.popen = real_popen
+
+    yield types.SimpleNamespace(sid=ref_sid, eldm=ref_eldm)
+
+    sys.path.remove(REFERENCE)
+    if shimmed_accumulate:
+        del _tu._accumulate
+    for k in list(sys.modules):
+        if k.split(".")[0] in ref_top:
+            del sys.modules[k]
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+    for k, v in saved_top.items():
+        sys.modules[k] = v
+
+
+# ---------------------------------------------------------------------------
+# fixture dataset: real DNG files + ground-truth sidecars
+# ---------------------------------------------------------------------------
+
+BLACK, WHITE = 512, 16383
+PATTERN = onp.array([[0, 1], [3, 2]])          # R G1 / G2 B (rawpy codes)
+OFFSETS = ((0, 0), (0, 1), (1, 1), (1, 0))     # (row,col) of R,G1,B,G2
+WB = onp.array([2.0, 1.0, 1.0 / 0.6, 1.0])     # from AsShotNeutral (.5,1,.6)
+# a plausible XYZ->cam ColorMatrix so the sRGB stage exercises a real CCM
+CM = onp.array([[0.779, -0.083, 0.009],
+                [-0.205, 1.016, 0.221],
+                [0.020, 0.138, 0.595]])
+
+
+def _smooth_scene(rng, n=512):
+    yy, xx = onp.meshgrid(onp.linspace(0, 1, n), onp.linspace(0, 1, n),
+                          indexing="ij")
+    chans = []
+    for _ in range(4):
+        f1, f2 = rng.uniform(1.5, 4.0, 2)
+        p1, p2 = rng.uniform(0.0, 6.28, 2)
+        chans.append(0.5 + 0.35 * onp.sin(2 * onp.pi * f1 * xx + p1)
+                     * onp.cos(2 * onp.pi * f2 * yy + p2))
+    return onp.clip(onp.stack(chans, -1), 0.02, 0.98).astype(onp.float32)
+
+
+def _mosaic(planes):
+    h, w, _ = planes.shape
+    m = onp.zeros((2 * h, 2 * w), onp.float32)
+    for ch, (r, c) in enumerate(OFFSETS):
+        m[r::2, c::2] = planes[..., ch]
+    return onp.clip(onp.round(m * (WHITE - BLACK) + BLACK),
+                    0, WHITE).astype(onp.uint16)
+
+
+def _write_raw(dirpath, fn, mosaic, expo):
+    from eld_tpu.data.rawio import ccm_from_colormatrix
+    from tests.tiff_fixture import make_dng
+
+    path = os.path.join(dirpath, fn)
+    with open(path, "wb") as f:
+        f.write(make_dng(mosaic, iso=1600, exposure=expo,
+                         black=(BLACK,) * 4, white=WHITE,
+                         cfa=(0, 1, 1, 2), wb_neutral=(0.5, 1.0, 0.6),
+                         ccm=CM))
+    # ground truth for the rawpy stub: the cam->sRGB matrix our decoder
+    # derives from the tag's 1e-4-quantized rationals (the conversion
+    # itself is unit-diffed in test_rawio.py)
+    ccm = ccm_from_colormatrix(onp.round(CM * 10_000) / 10_000)
+    onp.savez(path + ".npz", mosaic=mosaic, pattern=PATTERN,
+              black=onp.full(4, BLACK), wb=WB, ccm=ccm)
+
+
+@pytest.fixture(scope="module")
+def sid_dir(tmp_path_factory):
+    """SID-layout directory: 3 pairs at ratios 100/250/300 + pair list."""
+    root = tmp_path_factory.mktemp("sid_fixture")
+    os.makedirs(root / "short")
+    os.makedirs(root / "long")
+    rng = onp.random.default_rng(20260817)
+    pairs = []
+    for i, expo in enumerate(("0.1", "0.04", "0.033")):
+        ratio = min(10.0 / float(expo), 300.0)
+        scene = _smooth_scene(rng)
+        noisy = scene / ratio + rng.normal(0.0, 0.004, scene.shape)
+        long_fn = f"{10001 + i}_00_10s.dng"
+        short_fn = f"{10001 + i}_00_{expo}s.dng"
+        _write_raw(str(root / "long"), long_fn, _mosaic(scene), 10.0)
+        _write_raw(str(root / "short"), short_fn,
+                   _mosaic(noisy.astype(onp.float32)), float(expo))
+        pairs.append((short_fn, long_fn, int(ratio)))
+    listfile = root / "pairs.txt"
+    listfile.write_text(
+        "".join(f"{s} {l} {r}\n" for s, l, r in pairs))
+    return types.SimpleNamespace(root=str(root), pairs=pairs,
+                                 listfile=str(listfile))
+
+
+@pytest.fixture(scope="module")
+def pt_checkpoint(tmp_path_factory, ref):
+    """Reference-format .pt checkpoint from torch's own default init."""
+    torch.manual_seed(7)
+    import models.arch as ref_arch
+
+    net = ref_arch.UNetSeeInDark(4, 4)
+    path = tmp_path_factory.mktemp("ckpt") / "model_parity.pt"
+    torch.save({"netG": net.state_dict(), "epoch": 0, "iterations": 0},
+               str(path))
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# the two composed stacks
+# ---------------------------------------------------------------------------
+
+def _ref_eval(ref, sid_dir, pt_path, chop, stage_eval="raw"):
+    """The reference's own composed protocol: test_SID.py:42-49 with
+    engine.eval's accumulation loop inlined (engine.py:75-99)."""
+    opt = types.SimpleNamespace(
+        gpu_ids=[], isTrain=False, checkpoints_dir=sid_dir.root,
+        name="ref_parity", netG="unet", channels=4,
+        stage_in="raw", stage_out="raw", stage_eval=stage_eval,
+        chop=chop, crf=False, resume=False, no_verbose=True,
+        model_path=None, gt_wb=False,
+    )
+    model = ref.eldm.ELDModel()
+    model.initialize(opt)
+    state = torch.load(pt_path, map_location="cpu", weights_only=False)
+    model.netG.load_state_dict(state["netG"])
+
+    out = {}
+    for short_fn, long_fn, ratio in sid_dir.pairs:
+        ds = ref.sid.SIDDataset(
+            sid_dir.root, [(short_fn, long_fn)], memorize=False, size=None,
+            augment=False, stage_in="raw", stage_out="raw")
+        loader = torch.utils.data.DataLoader(
+            ds, batch_size=1, shuffle=False, num_workers=0)
+        acc = []
+        for data in loader:
+            acc.append(model.eval(data, savedir=None, correct=True, crop=True))
+        out[ratio] = {
+            "PSNR": float(onp.mean([a["PSNR"] for a in acc])),
+            "SSIM": float(onp.mean([a["SSIM"] for a in acc])),
+        }
+    return out
+
+
+def _our_eval(sid_dir, pt_path, tmp, chop, stage_eval="raw"):
+    """Our released CLI, end to end (tools/test_sid.main)."""
+    from eld_tpu.tools.test_sid import main
+
+    argv = [
+        "--datadir", sid_dir.root, "--pairs", sid_dir.listfile,
+        "--name", f"our_parity_{int(chop)}_{stage_eval}",
+        "--checkpoints_dir", str(tmp),
+        "--model_path", pt_path, "--mesh_data", "1",
+        "--stage_eval", stage_eval,
+        "--no-log", "--no-verbose",
+    ]
+    if chop:
+        argv.append("--chop")
+    return main(argv)
+
+
+# ---------------------------------------------------------------------------
+# the parity assertions
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("chop,stage_eval", [
+    (False, "raw"), (True, "raw"), (False, "srgb"),
+], ids=["plain", "chop", "srgb"])
+def test_composed_eval_protocol_parity(ref, sid_dir, pt_checkpoint,
+                                       tmp_path, chop, stage_eval):
+    theirs = _ref_eval(ref, sid_dir, pt_checkpoint, chop, stage_eval)
+    ours = _our_eval(sid_dir, pt_checkpoint, tmp_path, chop, stage_eval)
+
+    assert set(theirs) == set(ours)
+    for ratio in theirs:
+        dpsnr = abs(theirs[ratio]["PSNR"] - ours[ratio]["PSNR"])
+        dssim = abs(theirs[ratio]["SSIM"] - ours[ratio]["SSIM"])
+        assert dpsnr <= 0.05, (
+            f"ratio {ratio}: PSNR {ours[ratio]['PSNR']:.4f} vs reference "
+            f"{theirs[ratio]['PSNR']:.4f} (|d|={dpsnr:.4f} dB)")
+        assert dssim <= 1e-3, (
+            f"ratio {ratio}: SSIM {ours[ratio]['SSIM']:.5f} vs reference "
+            f"{theirs[ratio]['SSIM']:.5f} (|d|={dssim:.5f})")
