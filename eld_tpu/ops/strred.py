@@ -23,26 +23,26 @@ Algorithm (per consecutive-frame pair):
     scaled-entropy differences between reference and distorted; ST-RRED
     is the product of their temporal means.
 
-Documented deviation from skvideo: the subband extractor.  skvideo uses
-a band of Simoncelli's sp5Filters steerable pyramid; those filter
-constants are numerically-designed tables (matlabPyrTools sp5Filters.m),
-verified unreachable in this environment — no skvideo/pyrtools install,
-no copy anywhere on disk, and no network egress to fetch them — so the
-subband here is an isotropic bandpass at the same scale (3 binomial
-blur+decimate steps, then center-minus-blur).  The extractor is
-PLUGGABLE (``strred(..., subband_fn=...)``): when the sp5 tables become
-available, pass a steerable-band extractor and the skvideo-comparable
-variant needs no other change.  The entropic-differencing core — the
-metric itself — follows the paper; absolute values are therefore NOT
-comparable to skvideo's, but orderings (more distortion -> larger
-ST-RRED) are, which is what the metric is used for.  The papers'
-reported results use PSNR/SSIM only.
+Subband extractor: skvideo feeds frames through a band of Simoncelli's
+sp5Filters steerable pyramid (level 4, first orientation).  The default
+here is the same subband computed from the *analytic* steerable-pyramid
+construction the sp5 tap tables approximate (``ops/steerable.py`` — the
+tap tables themselves are verified unreachable offline, but the defining
+frequency-domain math is exact and published).  Remaining differences vs
+skvideo are numerical-tolerance, not structural: exact vs tap-approximated
+frequency response, and periodic (FFT) vs reflected boundaries.  The
+extractor stays PLUGGABLE (``strred(..., subband_fn=...)``); an isotropic
+bandpass at the same scale (``isotropic_subband``) is kept for frames too
+small for steerable level 4.  The entropic-differencing core — the metric
+itself — follows the paper.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from eld_tpu.ops.steerable import steerable_band
 
 _BLK = 3
 _SIGMA_NSQ = 0.1
@@ -61,12 +61,24 @@ def _blur(x):
     return x[0, :, :, 0]
 
 
-def _subband(frame):
-    """Coarse-scale bandpass coefficients of one (H, W) frame."""
+def isotropic_subband(frame):
+    """Coarse-scale isotropic bandpass of one (H, W) frame (scale 1/8).
+
+    The orientation-free fallback extractor (module docstring); the
+    default is the analytic steerable band at the same scale.
+    """
     g = frame.astype(jnp.float32)
     for _ in range(_LEVELS):
         g = _blur(g)[::2, ::2]
     return g - _blur(g)
+
+
+def _default_subband(frame):
+    """skvideo's band: steerable level 4; isotropic below its min size."""
+    h, w = frame.shape
+    if min(h, w) >= 32:
+        return steerable_band(frame, level=4, orientation=0)
+    return isotropic_subband(frame)
 
 
 def _est_params(y):
@@ -93,7 +105,7 @@ def _est_params(y):
 
 def _extract_info(frame1, frame2, subband_fn=None):
     """Scaled spatial/temporal entropy fields for one frame pair."""
-    sb = subband_fn or _subband
+    sb = subband_fn or _default_subband
     y = sb(frame1)
     yd = sb(frame1 - frame2)
     ss, ent = _est_params(y)
@@ -123,8 +135,8 @@ def strred(reference, distorted, subband_fn=None):
     """ST-RRED for (T, H, W) grayscale clips in [0, 1], T >= 2.
 
     ``subband_fn``: optional (H, W) -> coefficients extractor replacing
-    the default isotropic bandpass (the hook for an sp5 steerable band,
-    see module docstring).  Must be jit-traceable.
+    the default analytic steerable band (level 4, first orientation —
+    skvideo's choice; module docstring).  Must be jit-traceable.
 
     Returns ``(per_frame, strred, strredsn)`` — the same triple shape the
     reference unpacks from skvideo (``util/index.py:88``): ``per_frame``
