@@ -86,12 +86,107 @@ class ConvBlock(nn.Module):
         return lrelu(x)
 
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+class _SplitFirstConv(nn.Module):
+    """3x3 conv over a *virtual* concat of two operands.
+
+    conv(concat([a, b])) == conv_a(a) + conv_b(b) with the kernel sliced
+    along its input-channel axis — exact up to f.p. summation order.  The
+    parameter is the SAME (3, 3, ca+cb, features) kernel the concat
+    version declares (checkpoint-identical tree), but the concatenated
+    activation tensor is never materialized in HBM: on the decoder's
+    finest level that tensor is the largest intermediate of the step.
+    """
+
+    features: int
+    split: tuple  # (ca, cb) input channels of the two operands
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = self.split
+        kernel = self.param("kernel", _torch_kernel_init,
+                            (3, 3, ca + cb, self.features))
+        bias = self.param("bias", _torch_bias_init((ca + cb) * 9),
+                          (self.features,))
+        kernel = kernel.astype(self.dtype)
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), kernel[:, :, :ca], (1, 1), "SAME",
+            dimension_numbers=_DN)
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), kernel[:, :, ca:], (1, 1), "SAME",
+            dimension_numbers=_DN)
+        return ya + yb + bias.astype(self.dtype)
+
+
+class DecBlock(nn.Module):
+    """Decoder ConvBlock taking (upsampled, skip) without concatenating.
+
+    Param tree matches ``ConvBlock`` (Conv_0/Conv_1) exactly.
+    """
+
+    features: int
+    split: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, up, skip):
+        x = _SplitFirstConv(self.features, self.split, dtype=self.dtype,
+                            name="Conv_0")(up, skip)
+        x = lrelu(x)
+        x = nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=_torch_kernel_init,
+            bias_init=_torch_bias_init(self.features * 9),
+            name="Conv_1",
+        )(x)
+        return lrelu(x)
+
+
+class _D2SUpsample(nn.Module):
+    """2x2/stride-2 transposed conv expressed as 1x1-conv + depth-to-space.
+
+    With kernel == stride the transposed conv has no overlapping taps:
+    y[n, 2i+di, 2j+dj, o] = sum_c x[n,i,j,c] * K[di,dj,c,o] + bias[o].
+    That is exactly a (C -> 4*out) pointwise contraction (one MXU matmul)
+    followed by a block reshape — no lhs-dilated scatter conv, which XLA
+    lowers far less efficiently on TPU.  The parameter is the same
+    (2, 2, in, out) kernel ``nn.ConvTranspose`` declares.
+    """
+
+    features: int
+    in_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _torch_uniform_init(self.features * 4),
+                            (2, 2, self.in_features, self.features))
+        bias = self.param("bias", _torch_uniform_init(self.features * 4),
+                          (self.features,))
+        n, h, w, _ = x.shape
+        # lax.conv_transpose applies the kernel spatially flipped:
+        # y[2i+di, 2j+dj] = sum_c x[i,j,c] K[1-di, 1-dj, c, o]
+        # (2,2,in,out) -> (in, 2*2*out), channel order (di, dj, o)
+        k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3).reshape(
+            self.in_features, 4 * self.features)
+        z = jnp.einsum("nhwc,co->nhwo", x.astype(self.dtype), k)
+        z = z.reshape(n, h, w, 2, 2, self.features)
+        y = z.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, 2 * h, 2 * w, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class UNetSeeInDark(nn.Module):
     in_channels: int = 4
     out_channels: int = 4
     base_width: int = 32
     dtype: Dtype = jnp.float32   # compute dtype; params stay f32
     remat: bool = False          # checkpoint each level (full-frame eval)
+    skip_mode: str = "concat"    # "split": concat-free decoder (same params)
+    upsample: str = "convt"      # "d2s": 1x1-conv + depth-to-space (same params)
 
     @nn.compact
     def __call__(self, x):
@@ -101,8 +196,10 @@ class UNetSeeInDark(nn.Module):
         x = x.astype(self.dtype)
 
         block = ConvBlock
+        dec_block = DecBlock
         if self.remat:
             block = nn.remat(ConvBlock)
+            dec_block = nn.remat(DecBlock)
 
         # encoder
         skips = []
@@ -118,14 +215,25 @@ class UNetSeeInDark(nn.Module):
         # decoder
         for level in range(3, -1, -1):
             width = widths[level]
-            feats = nn.ConvTranspose(
-                width, (2, 2), strides=(2, 2), dtype=self.dtype,
-                kernel_init=_torch_uniform_init(width * 4),  # torch fan_in = out*k*k
-                use_bias=True,
-                bias_init=_torch_uniform_init(width * 4),
-            )(feats)
-            feats = jnp.concatenate([feats, skips[level]], axis=-1)
-            feats = block(width, 2 * width, dtype=self.dtype, name=f"dec{level}")(feats)
+            if self.upsample == "d2s":
+                feats = _D2SUpsample(
+                    width, in_feats, dtype=self.dtype,
+                    name=f"ConvTranspose_{3 - level}")(feats)
+            else:
+                feats = nn.ConvTranspose(
+                    width, (2, 2), strides=(2, 2), dtype=self.dtype,
+                    kernel_init=_torch_uniform_init(width * 4),  # torch fan_in = out*k*k
+                    use_bias=True,
+                    bias_init=_torch_uniform_init(width * 4),
+                )(feats)
+            if self.skip_mode == "split":
+                feats = dec_block(width, (width, width), dtype=self.dtype,
+                                  name=f"dec{level}")(feats, skips[level])
+            else:
+                feats = jnp.concatenate([feats, skips[level]], axis=-1)
+                feats = block(width, 2 * width, dtype=self.dtype,
+                              name=f"dec{level}")(feats)
+            in_feats = width
 
         out = nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype,

@@ -151,3 +151,66 @@ def test_unet_s2d_trains(rng):
         state, m = step(state, {"clean": clean}, jax.random.PRNGKey(i))
         losses.append(float(m["Pixel"]))
     assert losses[-1] < losses[0]
+
+
+def test_bandwidth_variants_exact(rng):
+    """The HBM-traffic variants (concat-free decoder, depth-to-space
+    upsampling — BASELINE.md roofline follow-up) are exact
+    re-parameterizations: identical param trees AND matching forward +
+    gradient numerics vs the stock decoder, in every combination."""
+    import jax.numpy as jnp
+
+    from eld_tpu.models.unet import UNetSeeInDark
+
+    x = jnp.asarray(rng.random((2, 32, 32, 4), dtype=onp.float32))
+    base = UNetSeeInDark(base_width=4)
+    params = base.init(jax.random.PRNGKey(7), x)["params"]
+    y0 = base.apply({"params": params}, x)
+
+    def loss(p, model):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g0 = jax.grad(loss)(params, base)
+
+    for skip_mode in ("concat", "split"):
+        for upsample in ("convt", "d2s"):
+            if (skip_mode, upsample) == ("concat", "convt"):
+                continue
+            m = UNetSeeInDark(base_width=4, skip_mode=skip_mode,
+                              upsample=upsample)
+            p2 = m.init(jax.random.PRNGKey(7), x)["params"]
+            # same tree, same shapes, same *values* (path-keyed RNG)
+            flat0 = jax.tree_util.tree_leaves_with_path(params)
+            flat2 = dict(jax.tree_util.tree_leaves_with_path(p2))
+            assert set(flat2) == {k for k, _ in flat0}
+            for k, v in flat0:
+                onp.testing.assert_array_equal(onp.asarray(v),
+                                               onp.asarray(flat2[k]), err_msg=str(k))
+            y = m.apply({"params": params}, x)
+            onp.testing.assert_allclose(onp.asarray(y), onp.asarray(y0),
+                                        rtol=2e-5, atol=2e-5)
+            g = jax.grad(loss)(params, m)
+            for (k, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(g0),
+                    jax.tree_util.tree_leaves_with_path(g)):
+                onp.testing.assert_allclose(
+                    onp.asarray(a), onp.asarray(b), rtol=2e-4, atol=2e-4,
+                    err_msg=str(k))
+
+
+def test_bandwidth_variants_s2d_and_remat(rng):
+    """Variant flags compose with unet_s2d and remat without changing
+    numerics."""
+    import jax.numpy as jnp
+
+    from eld_tpu.models import build_arch
+
+    x = jnp.asarray(rng.random((1, 64, 64, 4), dtype=onp.float32))
+    base = build_arch("unet_s2d", 4, 4, base_width=4)
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    y0 = base.apply({"params": params}, x)
+    opt = build_arch("unet_s2d", 4, 4, base_width=4, skip_mode="split",
+                     upsample="d2s", remat=True)
+    y = opt.apply({"params": params}, x)
+    onp.testing.assert_allclose(onp.asarray(y), onp.asarray(y0),
+                                rtol=2e-5, atol=2e-5)
