@@ -1,0 +1,170 @@
+"""Hardware A/B sweep of the decoder bandwidth variants (VERDICT r2 #4).
+
+Measures the fused synthetic-noise train step (same protocol as bench.py:
+512^2 batch 16, bf16 compute, ELD noise, warmup 3, 2x10 timed steps taking
+the slower pass) for every combination of
+
+    arch      in {unet_s2d, unet}
+    skip_mode in {concat, split}   (split: concat-free decoder)
+    upsample  in {convt, d2s}      (d2s: 1x1-conv + depth-to-space)
+
+plus XLA ``cost_analysis()`` FLOPs and bytes-accessed per step, so a
+throughput change can be attributed to traffic.  Each combo runs in its
+own subprocess (this rig's TPU admits one client at a time, and a fresh
+process gives every combo a fresh HBM arena — see bench.py peak_only for
+the fragmentation rationale).
+
+The variants are exact re-parameterizations (tests/test_unet.py::
+test_bandwidth_variants_exact): identical param tree, forward, and
+gradients — so this sweep is purely a performance decision, no quality
+gate needed.
+
+Also sweeps the full-frame chopped eval (1424x2128x4, parity unet) over
+the same flags: the decoder-side concat of the finest level is largest
+there.
+
+Usage (on the TPU):  python -m eld_tpu.tools.bench_variants
+Reference workload benchmarked: train_syn.py:100-113 (512^2 patches).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import subprocess
+import sys
+import time
+
+_SMOKE = os.environ.get("ELD_BENCH_VARIANTS_SMOKE") == "1"
+PATCH = 64 if _SMOKE else 512
+BATCH = 2 if _SMOKE else 16
+EVAL_H, EVAL_W = (128, 192) if _SMOKE else (1424, 2128)
+STEPS = 10
+WARMUP = 3
+COMBO_TIMEOUT_S = 600
+
+
+def _measure_train(arch: str, skip_mode: str, upsample: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch(arch, 4, 4, dtype=jnp.bfloat16,
+                       skip_mode=skip_mode, upsample=upsample)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, PATCH, PATCH, 4))
+    step = make_train_step(model, loss="l1", noise_model="eld", bank=bank)
+    clean = jnp.asarray(onp.random.default_rng(0).random(
+        (BATCH, PATCH, PATCH, 4), dtype=onp.float32))
+    data = {"clean": clean}
+
+    rec = {}
+    try:
+        compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns one dict per device
+            ca = ca[0]
+        rec["flops_per_step"] = ca.get("flops")
+        rec["bytes_per_step"] = ca.get("bytes accessed")
+    except Exception as e:  # cost analysis is best-effort
+        rec["cost_analysis_error"] = type(e).__name__
+
+    for i in range(WARMUP):
+        state, m = step(state, data, jax.random.PRNGKey(i))
+    float(m["Pixel"])  # D2H scalar fetch: see bench.py run() rationale
+
+    def timed(offset):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, m = step(state, data, jax.random.PRNGKey(offset + i))
+        float(m["Pixel"])
+        return BATCH * STEPS / (time.perf_counter() - t0)
+
+    rec["patches_per_sec"] = round(min(timed(100), timed(200)), 2)
+    return rec
+
+
+def _measure_eval(skip_mode: str, upsample: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.models import build_arch
+    from eld_tpu.train.steps import make_eval_forward
+
+    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16,
+                       skip_mode=skip_mode, upsample=upsample)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 4)))["params"]
+    fwd = make_eval_forward(model, chop=True)
+    x = jnp.asarray(onp.random.default_rng(0).random(
+        (1, EVAL_H, EVAL_W, 4), dtype=onp.float32))
+    float(fwd(params, x).sum())  # compile + prove full execution
+    reps = 6
+    t0 = time.perf_counter()
+    outs = [fwd(params, x) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    return {"fullframe_fps": round(reps / (time.perf_counter() - t0), 2)}
+
+
+def _child(argv):
+    mode = argv[0]
+    if mode == "train":
+        arch, skip_mode, upsample = argv[1:4]
+        rec = _measure_train(arch, skip_mode, upsample)
+        rec.update(mode="train", arch=arch)
+    else:
+        skip_mode, upsample = argv[1:3]
+        rec = _measure_eval(skip_mode, upsample)
+        rec.update(mode="eval_fullframe", arch="unet")
+    rec.update(skip_mode=skip_mode, upsample=upsample)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    sys.path.insert(0, ".")
+    try:
+        from bench import probe_device
+        platform = probe_device()
+    except ImportError:
+        platform = "unknown"
+    if platform is None:
+        print(json.dumps({"error": "tpu_unreachable"}))
+        sys.exit(2)
+
+    results = []
+    combos = [("train", arch, sm, up)
+              for arch, sm, up in itertools.product(
+                  ("unet_s2d", "unet"), ("concat", "split"), ("convt", "d2s"))]
+    combos += [("eval", sm, up)
+               for sm, up in itertools.product(("concat", "split"),
+                                               ("convt", "d2s"))]
+    for combo in combos:
+        label = "/".join(combo)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "eld_tpu.tools.bench_variants",
+                 "--one", *combo],
+                capture_output=True, text=True, timeout=COMBO_TIMEOUT_S)
+            sys.stderr.write(out.stderr[-1500:])
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            rec = {"mode": combo[0], "combo": label,
+                   "error": type(e).__name__}
+        print(f"[variants] {label}: {rec}", file=sys.stderr)
+        results.append(rec)
+    print(json.dumps({"platform": platform, "results": results}))
+
+
+if __name__ == "__main__":
+    if "--one" in sys.argv:
+        _child(sys.argv[sys.argv.index("--one") + 1:])
+    else:
+        main()
