@@ -60,6 +60,8 @@ class Config:
     mesh_spatial: int = 1
     bf16: bool = False         # bf16 compute dtype (params stay f32)
     remat: bool = False        # rematerialize U-Net levels
+    skip_mode: str = "concat"  # "split": concat-free decoder (exact reparam)
+    upsample: str = "convt"    # "d2s": 1x1-conv + depth-to-space (exact reparam)
     k_mode: str = "overridden"  # noise K sampling: overridden|calibrated
     profile: bool = False      # jax.profiler trace of the first train steps
     async_ckpt: bool = True    # overlap checkpoint writes with training
@@ -113,6 +115,10 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
     t.add_argument("--mesh_spatial", type=int, default=1)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--remat", action="store_true")
+    t.add_argument("--skip_mode", type=str, default="concat",
+                   choices=["concat", "split"])
+    t.add_argument("--upsample", type=str, default="convt",
+                   choices=["convt", "d2s"])
     t.add_argument("--k_mode", type=str, default="overridden",
                    choices=["overridden", "calibrated"])
     t.add_argument("--profile", action="store_true")

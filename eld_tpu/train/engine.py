@@ -89,6 +89,8 @@ class Engine:
             cfg.out_channels,
             dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
             remat=cfg.remat,
+            skip_mode=cfg.skip_mode,
+            upsample=cfg.upsample,
         )
         self.state = create_train_state(
             self.model,

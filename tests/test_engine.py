@@ -330,3 +330,26 @@ def test_multiprocess_coherence_and_host0_gating(tmp_path, clean_store, monkeypa
 
     monkeypatch.setattr(mh, "broadcast_from_host0", lambda obj, **k: obj)
     assert len(list(eng.eval([], dataset_name="x").keys())) == 0
+
+
+def test_variant_flags_reach_model_and_checkpoint_interchange(tmp_path, clean_store):
+    """--skip_mode/--upsample plumb through Config -> Engine -> build_arch,
+    and a checkpoint written by the stock decoder restores into the
+    variant decoder unchanged (exact re-parameterization)."""
+    from eld_tpu.config import parse
+
+    cfg = parse(["--name", "t", "--skip_mode", "split", "--upsample", "d2s",
+                 "--checkpoints_dir", str(tmp_path / "c1")], dump=False)
+    assert (cfg.skip_mode, cfg.upsample) == ("split", "d2s")
+
+    base = Engine(small_cfg(tmp_path))
+    path = base.save(label="latest")
+    var = Engine(small_cfg(tmp_path, skip_mode="split", upsample="d2s"))
+    var.load(path)
+    import jax
+
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(base.state.params),
+            jax.tree_util.tree_leaves_with_path(var.state.params)):
+        assert ka == kb
+        onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
