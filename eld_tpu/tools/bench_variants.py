@@ -45,7 +45,8 @@ WARMUP = 3
 COMBO_TIMEOUT_S = 600
 
 
-def _measure_train(arch: str, skip_mode: str, upsample: str) -> dict:
+def _measure_train(arch: str, skip_mode: str, upsample: str,
+                   remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as onp
@@ -55,7 +56,7 @@ def _measure_train(arch: str, skip_mode: str, upsample: str) -> dict:
     from eld_tpu.train import create_train_state, make_train_step
 
     model = build_arch(arch, 4, 4, dtype=jnp.bfloat16,
-                       skip_mode=skip_mode, upsample=upsample)
+                       skip_mode=skip_mode, upsample=upsample, remat=remat)
     bank = load_camera_params()
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, PATCH, PATCH, 4))
@@ -118,8 +119,9 @@ def _child(argv):
     mode = argv[0]
     if mode == "train":
         arch, skip_mode, upsample = argv[1:4]
-        rec = _measure_train(arch, skip_mode, upsample)
-        rec.update(mode="train", arch=arch)
+        remat = "remat" in argv[4:]
+        rec = _measure_train(arch, skip_mode, upsample, remat=remat)
+        rec.update(mode="train", arch=arch, remat=remat)
     else:
         skip_mode, upsample = argv[1:3]
         rec = _measure_eval(skip_mode, upsample)
@@ -143,6 +145,9 @@ def main():
     combos = [("train", arch, sm, up)
               for arch, sm, up in itertools.product(
                   ("unet_s2d", "unet"), ("concat", "split"), ("convt", "d2s"))]
+    # remat-vs-traffic tradeoff on the stock decoders (VERDICT r2 #4)
+    combos += [("train", "unet_s2d", "concat", "convt", "remat"),
+               ("train", "unet", "concat", "convt", "remat")]
     combos += [("eval", sm, up)
                for sm, up in itertools.product(("concat", "split"),
                                                ("convt", "d2s"))]
