@@ -86,6 +86,22 @@ class ConvBlock(nn.Module):
         return lrelu(x)
 
 
+def space_to_depth(x, block: int = 2):
+    """(N, H, W, C) -> (N, H/b, W/b, C*b*b); channel order (di, dj, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, c * block * block)
+
+
+def depth_to_space(x, block: int = 2):
+    """(N, H, W, C*b*b) -> (N, H*b, W*b, C); channel order (di, dj, c)."""
+    n, h, w, cbb = x.shape
+    c = cbb // (block * block)
+    x = x.reshape(n, h, w, block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * block, w * block, c)
+
+
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
@@ -166,17 +182,13 @@ class _D2SUpsample(nn.Module):
                             (2, 2, self.in_features, self.features))
         bias = self.param("bias", _torch_uniform_init(self.features * 4),
                           (self.features,))
-        n, h, w, _ = x.shape
         # lax.conv_transpose applies the kernel spatially flipped:
         # y[2i+di, 2j+dj] = sum_c x[i,j,c] K[1-di, 1-dj, c, o]
         # (2,2,in,out) -> (in, 2*2*out), channel order (di, dj, o)
         k = kernel[::-1, ::-1].astype(self.dtype).transpose(2, 0, 1, 3).reshape(
             self.in_features, 4 * self.features)
         z = jnp.einsum("nhwc,co->nhwo", x.astype(self.dtype), k)
-        z = z.reshape(n, h, w, 2, 2, self.features)
-        y = z.transpose(0, 1, 3, 2, 4, 5).reshape(
-            n, 2 * h, 2 * w, self.features)
-        return y + bias.astype(self.dtype)
+        return depth_to_space(z, 2) + bias.astype(self.dtype)
 
 
 class UNetSeeInDark(nn.Module):
@@ -190,6 +202,12 @@ class UNetSeeInDark(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.skip_mode not in ("concat", "split"):
+            raise ValueError(f"skip_mode must be 'concat' or 'split', "
+                             f"got {self.skip_mode!r}")
+        if self.upsample not in ("convt", "d2s"):
+            raise ValueError(f"upsample must be 'convt' or 'd2s', "
+                             f"got {self.upsample!r}")
         w = self.base_width
         widths = [w, 2 * w, 4 * w, 8 * w, 16 * w]  # 32..512
         in_dtype = x.dtype

@@ -15,26 +15,8 @@ bit-faithful to the reference topology for checkpoint parity.
 
 from __future__ import annotations
 
-from typing import Any
-
-import jax.numpy as jnp
-
-from eld_tpu.models.unet import UNetSeeInDark
-
-
-def space_to_depth(x, block: int = 2):
-    """(N, H, W, C) -> (N, H/b, W/b, C*b*b)."""
-    n, h, w, c = x.shape
-    x = x.reshape(n, h // block, block, w // block, block, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // block, w // block, c * block * block)
-
-
-def depth_to_space(x, block: int = 2):
-    """(N, H, W, C*b*b) -> (N, H*b, W*b, C)."""
-    n, h, w, cbb = x.shape
-    c = cbb // (block * block)
-    x = x.reshape(n, h, w, block, block, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * block, w * block, c)
+from eld_tpu.models.unet import (UNetSeeInDark, depth_to_space,
+                                 space_to_depth)
 
 
 class UNetS2D(UNetSeeInDark):

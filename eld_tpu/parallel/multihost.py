@@ -97,28 +97,72 @@ def maybe_initialize_multihost(cfg) -> tuple:
     return shard
 
 
-def broadcast_from_host0(obj, max_bytes: int = 1 << 16):
-    """Broadcast a small JSON-serializable object from process 0 to all
-    processes (single-process: identity).  Used to fan out host-0-only
-    results — e.g. eval meters — so every host returns identical values
-    and agrees on collective decisions like the best-checkpoint save."""
-    if jax.process_count() == 1:
-        return obj
+# Length-prefix sentinel marking an over-long payload.  The owning host
+# ENTERS the collective with this marker instead of raising beforehand —
+# a host-local raise would leave every other process blocked in the
+# collective forever (a config-sized error becoming a whole-pod hang);
+# with the marker, every host decodes it and raises the same error.
+_OVERSIZE = (1 << 64) - 1
+
+
+def _encode(obj, max_bytes):
     import json
 
     import numpy as onp
-    from jax.experimental import multihost_utils
 
     buf = onp.zeros(max_bytes, onp.uint8)
-    if jax.process_index() == 0:
-        raw = json.dumps(obj).encode()
-        if len(raw) + 8 > max_bytes:
-            raise ValueError(f"broadcast payload too large ({len(raw)} bytes)")
-        buf[:8] = onp.frombuffer(len(raw).to_bytes(8, "little"), onp.uint8)
+    raw = json.dumps(obj).encode()
+    n = _OVERSIZE if len(raw) + 8 > max_bytes else len(raw)
+    buf[:8] = onp.frombuffer(n.to_bytes(8, "little"), onp.uint8)
+    if n != _OVERSIZE:
         buf[8:8 + len(raw)] = onp.frombuffer(raw, onp.uint8)
-    out = onp.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return buf
+
+
+def _decode(out, max_bytes):
+    import json
+
     n = int.from_bytes(out[:8].tobytes(), "little")
+    if n == _OVERSIZE:
+        raise ValueError(
+            f"multihost payload exceeded max_bytes={max_bytes}; raised "
+            "collectively on every process")
     return json.loads(out[8:8 + n].tobytes().decode())
+
+
+def broadcast_from_host0(obj, max_bytes: int = 1 << 16):
+    """Broadcast a small JSON-serializable object from process 0 to all
+    processes (single-process: identity).  Used to fan out host-0-only
+    results so every host returns identical values and agrees on
+    collective decisions like the best-checkpoint save.  Oversize
+    payloads raise on EVERY process (see _OVERSIZE)."""
+    if jax.process_count() == 1:
+        return obj
+    import numpy as onp
+    from jax.experimental import multihost_utils
+
+    buf = (_encode(obj, max_bytes) if jax.process_index() == 0
+           else onp.zeros(max_bytes, onp.uint8))
+    out = onp.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return _decode(out, max_bytes)
+
+
+def allgather_objects(obj, max_bytes: int = 1 << 16) -> list:
+    """All-gather one small JSON-serializable object per process; every
+    process returns the same ``[obj_from_p0, obj_from_p1, ...]`` list.
+    Powers pod-sharded eval: each host evaluates its stride of the items,
+    then merges everyone's metric sums deterministically (same order on
+    every host => bitwise-identical means => the collective
+    best-checkpoint decision agrees).  Oversize payloads raise on EVERY
+    process (see _OVERSIZE)."""
+    if jax.process_count() == 1:
+        return [obj]
+    import numpy as onp
+    from jax.experimental import multihost_utils
+
+    out = onp.asarray(multihost_utils.process_allgather(
+        _encode(obj, max_bytes)))
+    return [_decode(out[p], max_bytes) for p in range(out.shape[0])]
 
 
 def host_shard() -> tuple:

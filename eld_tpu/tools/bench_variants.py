@@ -67,12 +67,16 @@ def _measure_train(arch: str, skip_mode: str, upsample: str,
 
     rec = {}
     try:
+        # AOT-compile once and time THAT executable (calling the jit
+        # wrapper again would compile a second time — the AOT cache is
+        # separate — wasting ~30-60s/combo on this rig's first-compiles)
         compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):  # older jax returns one dict per device
             ca = ca[0]
         rec["flops_per_step"] = ca.get("flops")
         rec["bytes_per_step"] = ca.get("bytes accessed")
+        step = compiled
     except Exception as e:  # cost analysis is best-effort
         rec["cost_analysis_error"] = type(e).__name__
 

@@ -21,6 +21,31 @@ from eld_tpu.data.pairs import eval_pairs_by_ratio
 from eld_tpu.train.engine import Engine
 
 
+def parse_pairs_file(path: str) -> dict:
+    """Parse a user 'short_fn long_fn ratio' pair list into ratio buckets.
+
+    Skips blank and '#'-comment lines; malformed lines exit with the
+    offending file:line instead of an uncaught traceback."""
+    buckets: dict = {}
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if len(parts) < 3:
+                raise SystemExit(
+                    f"{path}:{lineno}: expected 'short_fn long_fn ratio', "
+                    f"got {line.rstrip()!r}")
+            try:
+                ratio = int(float(parts[2]))
+            except ValueError:
+                raise SystemExit(
+                    f"{path}:{lineno}: ratio {parts[2]!r} is not a number "
+                    "(line format: 'short_fn long_fn ratio')")
+            buckets.setdefault(ratio, []).append((parts[0], parts[1]))
+    return buckets
+
+
 def main(argv=None):
     import argparse
 
@@ -43,16 +68,7 @@ def main(argv=None):
         from eld_tpu.core.emor import load_crf
 
         crf = load_crf()
-    if ns.pairs:
-        buckets: dict = {}
-        with open(ns.pairs) as f:
-            for line in f:
-                parts = line.split()
-                if not parts:
-                    continue
-                buckets.setdefault(int(parts[2]), []).append((parts[0], parts[1]))
-    else:
-        buckets = eval_pairs_by_ratio()
+    buckets = parse_pairs_file(ns.pairs) if ns.pairs else eval_pairs_by_ratio()
 
     results = {}
     for ratio, pairs in buckets.items():

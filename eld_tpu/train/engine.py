@@ -313,25 +313,40 @@ class Engine:
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
              correct: bool = True, crop: bool = True, **kw):
         meters = AverageMeters()
-        if self.host0:
-            # params are replicated: other hosts would duplicate the exact
-            # same eval, so only process 0 runs the items...
-            n = len(loader)
-            for i, item in enumerate(loader):
-                res = self.eval_one(item, correct=correct, crop=crop,
-                                    savedir=savedir, **kw)
-                meters.update(res)
+        world = jax.process_count()
+        rank = jax.process_index()
+        # params are replicated, so the items shard by stride across pod
+        # processes: every host works concurrently (a host-0-only eval
+        # would leave the other hosts parked inside the merge collective
+        # for the whole eval loop — a stall that bounded-timeout backends
+        # abort).  Each host PNG-dumps only its own items.
+        n = len(loader)
+        for i, item in enumerate(loader):
+            if i % world != rank:
+                continue
+            res = self.eval_one(item, correct=correct, crop=crop,
+                                savedir=savedir, **kw)
+            meters.update(res)
+            if self.host0:
                 progress(i, n, str(meters))
-            if self.writer is not None:
-                write_loss(self.writer, os.path.join("eval", dataset_name),
-                           meters, self.epoch)
-        if jax.process_count() > 1:
-            # ...and broadcasts the result, so every host returns identical
-            # meters and agrees on the best-checkpoint decision below (the
-            # save is a collective orbax write all processes must enter)
-            from eld_tpu.parallel.multihost import broadcast_from_host0
+        if world > 1:
+            # merge everyone's metric sums; the deterministic order makes
+            # the means bitwise-identical on every host, so the collective
+            # best-checkpoint decision below agrees (the save is a
+            # collective orbax write all processes must enter)
+            from eld_tpu.parallel.multihost import allgather_objects
 
-            meters = AverageMeters.from_means(broadcast_from_host0(meters.as_dict()))
+            merged = AverageMeters()
+            for part in allgather_objects(
+                    {k: [meters.sums[k], meters.counts[k]]
+                     for k in meters.keys()}):
+                for k, (s, c) in part.items():
+                    merged.sums[k] = merged.sums.get(k, 0.0) + s
+                    merged.counts[k] = merged.counts.get(k, 0) + c
+            meters = merged
+        if self.host0 and self.writer is not None:
+            write_loss(self.writer, os.path.join("eval", dataset_name),
+                       meters, self.epoch)
         if loss_key is not None and meters[loss_key] < self.best_val_loss:
             self.best_val_loss = meters[loss_key]
             self.save(label=f"best_{loss_key}_{dataset_name}")

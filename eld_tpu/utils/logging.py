@@ -27,14 +27,6 @@ class AverageMeters:
             self.sums[k] = self.sums.get(k, 0.0) + float(v)
             self.counts[k] = self.counts.get(k, 0) + 1
 
-    @classmethod
-    def from_means(cls, means: dict) -> "AverageMeters":
-        """Meters pre-seeded with final mean values (count 1 each) — used
-        to reconstruct host-0 eval results on other pod hosts."""
-        m = cls()
-        m.update(means or {})
-        return m
-
     def __getitem__(self, key):
         return self.sums[key] / self.counts[key]
 

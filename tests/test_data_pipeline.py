@@ -291,3 +291,30 @@ def test_sid_dataset_native_arw(tmp_path, rng):
     assert item["input"].shape == (32, 32, 4)
     assert item["target"].shape == (32, 32, 4)
     assert 0 <= item["input"].min() and item["input"].max() <= 1
+
+
+def test_parse_pairs_file(tmp_path):
+    """tools/test_sid --pairs: comments/blanks skipped, float ratios
+    accepted, malformed lines exit with the offending file:line."""
+    import pytest
+
+    from eld_tpu.tools.test_sid import parse_pairs_file
+
+    p = tmp_path / "pairs.txt"
+    p.write_text("# header comment\n"
+                 "\n"
+                 "short1.ARW long1.ARW 250\n"
+                 "short2.ARW long2.ARW 250.0\n"
+                 "short3.ARW long3.ARW 100\n")
+    buckets = parse_pairs_file(str(p))
+    assert buckets == {250: [("short1.ARW", "long1.ARW"),
+                             ("short2.ARW", "long2.ARW")],
+                      100: [("short3.ARW", "long3.ARW")]}
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("short.ARW long.ARW\n")
+    with pytest.raises(SystemExit, match="bad.txt:1"):
+        parse_pairs_file(str(bad))
+    bad.write_text("a.ARW b.ARW x300\n")
+    with pytest.raises(SystemExit, match="not a number"):
+        parse_pairs_file(str(bad))

@@ -323,12 +323,20 @@ def test_multiprocess_coherence_and_host0_gating(tmp_path, clean_store, monkeypa
                         lambda *a, **k: calls.append(a) or "/fake/path.ckpt")
     assert eng.save(label="latest") == "/fake/path.ckpt"
     assert len(calls) == 1
-    # non-host0 eval runs no items; the meters come from the host-0
-    # broadcast (stubbed to identity — the fake process count would make
-    # the real collective reshape 8 local devices into 2 processes)
+    # pod eval shards items by stride and merges sums via the allgather
+    # collective (stubbed to identity — the fake process count would make
+    # the real collective reshape 8 local devices into 2 processes).
+    # This rank-1 process sees items 1 and 3 of a 4-item loader.
     import eld_tpu.parallel.multihost as mh
 
-    monkeypatch.setattr(mh, "broadcast_from_host0", lambda obj, **k: obj)
+    monkeypatch.setattr(mh, "allgather_objects", lambda obj, **k: [obj])
+    seen = []
+    monkeypatch.setattr(
+        eng, "eval_one",
+        lambda item, **k: seen.append(item["i"]) or {"PSNR": float(item["i"])})
+    res = eng.eval([{"i": i} for i in range(4)], dataset_name="x")
+    assert seen == [1, 3]
+    assert res["PSNR"] == 2.0  # mean of this rank's shard after merge
     assert len(list(eng.eval([], dataset_name="x").keys())) == 0
 
 

@@ -166,3 +166,24 @@ def test_device_scene_generator_matches_host_distribution(rng):
     assert abs(dev.std() - host.std()) < 0.08
     # distinct scenes (keys actually vary across chunks)
     assert onp.std(dev.mean(axis=(1, 2, 3))) > 0.01
+
+
+def test_multihost_payload_helpers(rng):
+    """allgather_objects is identity single-process; oversize payloads
+    encode a sentinel that decodes to a ValueError on EVERY process
+    (raising host-locally before the collective would hang the pod)."""
+    from eld_tpu.parallel.multihost import (_decode, _encode,
+                                            allgather_objects,
+                                            broadcast_from_host0)
+
+    obj = {"PSNR": [12.5, 3], "SSIM": [0.9, 3]}
+    assert allgather_objects(obj) == [obj]
+    assert broadcast_from_host0(obj) == obj
+
+    buf = _encode(obj, 1 << 16)
+    assert _decode(buf, 1 << 16) == obj
+
+    big = {"x": "y" * 200}
+    buf = _encode(big, 64)  # must NOT raise on the encoding host
+    with pytest.raises(ValueError, match="every process"):
+        _decode(buf, 64)

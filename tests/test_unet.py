@@ -214,3 +214,17 @@ def test_bandwidth_variants_s2d_and_remat(rng):
     y = opt.apply({"params": params}, x)
     onp.testing.assert_allclose(onp.asarray(y), onp.asarray(y0),
                                 rtol=2e-5, atol=2e-5)
+
+
+def test_variant_flags_validated():
+    import pytest
+
+    from eld_tpu.models.unet import UNetSeeInDark
+
+    x = onp.zeros((1, 16, 16, 4), onp.float32)
+    with pytest.raises(ValueError, match="skip_mode"):
+        UNetSeeInDark(base_width=4, skip_mode="Split").init(
+            jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="upsample"):
+        UNetSeeInDark(base_width=4, upsample="D2S").init(
+            jax.random.PRNGKey(0), x)
