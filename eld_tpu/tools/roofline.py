@@ -1,0 +1,128 @@
+"""Roofline / MFU report for the fused train step (profiling subsystem).
+
+Formalizes the BASELINE.md cost-analysis study as a reusable CLI: AOT-
+compiles the fused synthetic-noise train step (noise + fwd + bwd + Adam)
+for a given arch/config, prints XLA ``cost_analysis()`` FLOPs and bytes
+per step, the arithmetic intensity against the chip's ridge point, the
+bandwidth-bound step-time floor, and — unless ``--no-run`` — the measured
+step time with achieved TFLOP/s (MFU) and HBM GB/s against peak.
+
+The reference ships no profiler integration at all (SURVEY §5); this plus
+``--profile`` (jax.profiler traces) and the throughput meters are the
+TPU-native observability stack.
+
+Usage:
+  python -m eld_tpu.tools.roofline --arch unet_s2d --batch 16 --bf16
+  python -m eld_tpu.tools.roofline --arch unet --skip_mode split --no-run
+
+Peaks default to TPU v5e (197 TFLOP/s bf16, 819 GB/s HBM); override with
+--peak_tflops / --peak_gbs for other chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_step(ns):
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch(
+        ns.arch, 4, 4,
+        dtype=jnp.bfloat16 if ns.bf16 else jnp.float32,
+        remat=ns.remat, skip_mode=ns.skip_mode, upsample=ns.upsample)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, ns.patch, ns.patch, 4))
+    step = make_train_step(model, loss="l1", noise_model=ns.noise, bank=bank)
+    clean = jnp.asarray(onp.random.default_rng(0).random(
+        (ns.batch, ns.patch, ns.patch, 4), dtype=onp.float32))
+    return state, step, {"clean": clean}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--arch", default="unet_s2d")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--patch", type=int, default=512)
+    p.add_argument("--noise", default="eld")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--skip_mode", default="concat", choices=["concat", "split"])
+    p.add_argument("--upsample", default="convt", choices=["convt", "d2s"])
+    p.add_argument("--peak_tflops", type=float, default=197.0,
+                   help="chip peak TFLOP/s at the compute dtype (v5e bf16)")
+    p.add_argument("--peak_gbs", type=float, default=819.0,
+                   help="chip peak HBM GB/s (v5e)")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--no-run", dest="run", action="store_false",
+                   help="static analysis only (no device execution timing)")
+    ns = p.parse_args(argv)
+
+    import jax
+
+    state, step, data = build_step(ns)
+    compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops") or 0.0)
+    nbytes = float(ca.get("bytes accessed") or 0.0)
+    intensity = flops / nbytes if nbytes else float("nan")
+    ridge = ns.peak_tflops * 1e12 / (ns.peak_gbs * 1e9)
+    floor_ms = nbytes / (ns.peak_gbs * 1e9) * 1e3
+    rec = {
+        "arch": ns.arch, "batch": ns.batch, "patch": ns.patch,
+        "noise": ns.noise, "bf16": ns.bf16, "remat": ns.remat,
+        "skip_mode": ns.skip_mode, "upsample": ns.upsample,
+        "flops_per_step": flops, "bytes_per_step": nbytes,
+        "arith_intensity_flop_per_byte": round(intensity, 1),
+        "ridge_flop_per_byte": round(ridge, 1),
+        "bound": "hbm" if intensity < ridge else "compute",
+        "bw_floor_ms": round(floor_ms, 2),
+    }
+    print(f"[roofline] {ns.arch} b{ns.batch} {ns.patch}^2 "
+          f"{'bf16' if ns.bf16 else 'f32'}: {flops/1e12:.2f} TF, "
+          f"{nbytes/1e9:.1f} GB, intensity {intensity:.0f} FLOP/B "
+          f"(ridge {ridge:.0f}) -> {rec['bound']}-bound, "
+          f"floor {floor_ms:.1f} ms/step", file=sys.stderr)
+
+    if ns.run:
+        for i in range(3):
+            state, m = step(state, data, jax.random.PRNGKey(i))
+        float(m["Pixel"])  # D2H fetch (see bench.py run())
+        t0 = time.perf_counter()
+        for i in range(ns.steps):
+            state, m = step(state, data, jax.random.PRNGKey(100 + i))
+        float(m["Pixel"])
+        dt = (time.perf_counter() - t0) / ns.steps
+        rec.update({
+            "platform": jax.devices()[0].platform,
+            "step_ms": round(dt * 1e3, 2),
+            "patches_per_sec": round(ns.batch / dt, 2),
+            "achieved_tflops": round(flops / dt / 1e12, 2),
+            "mfu_pct": round(flops / dt / (ns.peak_tflops * 1e12) * 100, 1),
+            "achieved_gbs": round(nbytes / dt / 1e9, 1),
+            "hbm_pct": round(nbytes / dt / (ns.peak_gbs * 1e9) * 100, 1),
+        })
+        print(f"[roofline] measured {rec['step_ms']} ms/step = "
+              f"{rec['patches_per_sec']} patches/s | "
+              f"{rec['achieved_tflops']} TFLOP/s ({rec['mfu_pct']}% MXU) | "
+              f"{rec['achieved_gbs']} GB/s ({rec['hbm_pct']}% HBM)",
+              file=sys.stderr)
+    print(json.dumps(rec))
+    return rec
+
+
+if __name__ == "__main__":
+    main()

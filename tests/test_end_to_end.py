@@ -155,3 +155,18 @@ def test_eld_eval_cli(tmp_path, rng):
     # x100 uses img id 4 (exists); all entries finite
     assert ("CanonEOS70D", "x100") in results
     assert onp.isfinite(results[("CanonEOS70D", "x100")]["PSNR"])
+
+
+def test_roofline_cli_static():
+    """tools/roofline --no-run: static cost analysis only — reports
+    FLOPs/bytes/intensity and the bandwidth floor without touching
+    timing; sanity: the fused 512^2 step must be HBM-bound on v5e peaks
+    (BASELINE.md roofline)."""
+    from eld_tpu.tools.roofline import main
+
+    rec = main(["--arch", "unet", "--batch", "1", "--patch", "64",
+                "--no-run"])
+    assert rec["flops_per_step"] > 0
+    assert rec["bytes_per_step"] > 0
+    assert rec["bound"] in ("hbm", "compute")
+    assert rec["bw_floor_ms"] > 0
