@@ -36,6 +36,7 @@ class Config:
     debug: bool = False
     # model/stage (options/eld/base_options.py)
     netG: str = "unet"
+    base_width: int = 32       # U-Net level-0 width (model capacity knob)
     channels: int = 4
     stage_in: str = "raw"
     stage_out: str = "raw"
@@ -101,6 +102,7 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
 
     m = p.add_argument_group("model")
     m.add_argument("--netG", type=str, default="unet")
+    m.add_argument("--base_width", type=int, default=32)
     m.add_argument("--channels", "-c", type=int, default=4)
     m.add_argument("--stage_in", type=str, default="raw", choices=["raw", "srgb"])
     m.add_argument("--stage_out", type=str, default="raw", choices=["raw", "srgb"])

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--arch", type=str, default="unet")
     p.add_argument("--channels", type=int, default=4)
     p.add_argument("--out_channels", type=int, default=None)
+    p.add_argument("--base_width", type=int, default=32,
+                   help="U-Net level-0 width (must match the checkpoint)")
     p.add_argument("--model_path", type=str, required=True,
                    help="orbax .ckpt dir or reference torch .pt state dict")
     p.add_argument("--height", type=int, default=512)
@@ -45,7 +47,8 @@ def main(argv=None):
 
     out_ch = ns.out_channels if ns.out_channels is not None else ns.channels
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
-    model = build_arch(ns.arch, ns.channels, out_ch, dtype=dtype)
+    model = build_arch(ns.arch, ns.channels, out_ch, dtype=dtype,
+                       base_width=ns.base_width)
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, ns.channels), jnp.float32)
     )["params"]

@@ -88,6 +88,7 @@ class Engine:
             cfg.in_channels,
             cfg.out_channels,
             dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
+            base_width=cfg.base_width,
             remat=cfg.remat,
             skip_mode=cfg.skip_mode,
             upsample=cfg.upsample,

@@ -52,7 +52,7 @@ def main():
         name="mp", checkpoints_dir=os.path.join(workdir, "ckpt"),
         is_train=True, batch_size=8, mesh_data=4, noise="pg", include=4,
         no_log=False, no_verbose=True, n_threads=0, save_epoch_freq=1,
-        async_ckpt=False, multihost=True,
+        async_ckpt=False, multihost=True, base_width=8,
     )
     engine = Engine(cfg)
 

@@ -112,7 +112,7 @@ def test_sid_eval_protocol(sid_eval_tree, tmp_path):
 
     root, pairs = sid_eval_tree
     cfg = Config(name="ev", checkpoints_dir=str(tmp_path / "ck"), is_train=False,
-                 no_log=True, no_verbose=True, async_ckpt=False)
+                 no_log=True, no_verbose=True, async_ckpt=False, base_width=8)
     engine = Engine(cfg)
     ds = SIDDataset(root, pairs, augment=False, memorize=False)
     loader = Loader(ds, batch_size=1, num_workers=0)
@@ -128,7 +128,7 @@ def test_eld_eval_cli(tmp_path, rng):
     # checkpoint to resume from
     cfg = Config(name="cli_eld", checkpoints_dir=str(tmp_path / "ck"),
                  is_train=True, no_log=True, no_verbose=True, async_ckpt=False,
-                 batch_size=1, mesh_data=1)
+                 batch_size=1, mesh_data=1, base_width=8)
     Engine(cfg).save(label="latest")
 
     # ELD tree: one camera, 2 scenes, the full id protocol (inputs
@@ -150,7 +150,7 @@ def test_eld_eval_cli(tmp_path, rng):
     results = test_eld.main([
         "--datadir", str(base), "--scenes", "2", "--include", "1",
         "--name", "cli_eld", "--checkpoints_dir", str(tmp_path / "ck"),
-        "--no-log", "--no-verbose", "--resume",
+        "--base_width", "8", "--no-log", "--no-verbose", "--resume",
     ])
     # x100 uses img id 4 (exists); all entries finite
     assert ("CanonEOS70D", "x100") in results

@@ -27,6 +27,7 @@ def small_cfg(tmp_path, **kw):
         name="t", checkpoints_dir=str(tmp_path / "ckpt"), is_train=True,
         batch_size=4, mesh_data=2, noise="pg", include=4, no_log=True,
         no_verbose=True, n_threads=0, save_epoch_freq=1, async_ckpt=False,
+        base_width=8,  # small model: full-width compiles dominate CI time
     )
     base.update(kw)
     return Config(**base)
@@ -178,7 +179,7 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
         "--traindir", str(traindir), "--evaldir", str(tmp_path / "missing"),
         "--epochs", "2", "--name", "cli_t", "--noise", "pg", "--include", "4",
         "-b", "4", "--mesh_data", "2", "--checkpoints_dir", str(tmp_path / "ckpt"),
-        "--no-log", "--no-verbose", "--nThreads", "0",
+        "--base_width", "8", "--no-log", "--no-verbose", "--nThreads", "0",
     ])
     assert engine.epoch == 2
     assert engine.iterations == 4
@@ -195,7 +196,7 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
             "--traindir", str(traindir), "--evaldir", str(tmp_path / "missing"),
             "--epochs", "1", "--name", "cli_t2", "--noise", "pg",
             "--include", "4", "-b", "4", "--mesh_data", "2",
-            "--checkpoints_dir", str(tmp_path / "ckpt"),
+            "--checkpoints_dir", str(tmp_path / "ckpt"), "--base_width", "8",
             "--no-log", "--no-verbose", "--nThreads", "0", "--multihost",
         ])
 

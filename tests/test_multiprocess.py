@@ -130,7 +130,7 @@ def test_multiprocess_params_match_single_process(mp_results):
         name="sp", checkpoints_dir=os.path.join(tmp, "ckpt_sp"),
         is_train=True, batch_size=8, mesh_data=4, noise="pg", include=4,
         no_log=True, no_verbose=True, n_threads=0, save_epoch_freq=1,
-        async_ckpt=False,
+        async_ckpt=False, base_width=8,
     )
     engine = Engine(cfg)
     ds = CleanPatchDataset(PatchStore(mp_results["store"]), augment=False)
