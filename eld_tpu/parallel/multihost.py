@@ -165,6 +165,17 @@ def allgather_objects(obj, max_bytes: int = 1 << 16) -> list:
     return [_decode(out[p], max_bytes) for p in range(out.shape[0])]
 
 
+def all_hosts_agree(flag: bool) -> bool:
+    """True iff EVERY process passes True (single-process: identity).
+
+    Use for decisions that gate collective code paths — e.g. whether the
+    periodic train-time eval runs: if one host's eval data is missing and
+    it silently skipped eval while the others entered the merge
+    collective, the pod would hang.  Deciding collectively keeps control
+    flow identical on every host."""
+    return all(bool(f) for f in allgather_objects(bool(flag)))
+
+
 def host_shard() -> tuple:
     """(rank, world) for ``data.Loader(shard=...)``."""
     return (jax.process_index(), jax.process_count())

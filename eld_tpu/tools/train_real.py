@@ -67,6 +67,14 @@ def main(argv=None):
             eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
     except Exception as e:
         print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
+    # collective decision: see train_syn (one host skipping eval would
+    # hang the others in the merge collective)
+    from eld_tpu.parallel.multihost import all_hosts_agree
+
+    if not all_hosts_agree(bool(eval_loaders)) and eval_loaders:
+        print("[w] eval disabled: not every pod host can reach the eval "
+              "data", file=sys.stderr)
+        eval_loaders = {}
 
     from eld_tpu.tools.train_syn import lr_for_epoch
 
@@ -80,6 +88,10 @@ def main(argv=None):
                 engine.eval(eval_loaders[100], dataset_name="sid_eval_100", correct=True)
                 engine.eval(eval_loaders[300], dataset_name="sid_eval_300", correct=True)
             except Exception as e:
+                import jax
+
+                if jax.process_count() > 1:
+                    raise  # divergent control flow is unsafe on a pod
                 print(f"[w] eval failed: {e}", file=sys.stderr)
     return engine
 

@@ -95,6 +95,15 @@ def main(argv=None, extra=None):
             eval_loaders[ratio] = Loader(ds, batch_size=1, num_workers=0)
     except Exception as e:  # eval data optional during training
         print(f"[i] eval datasets unavailable: {e}", file=sys.stderr)
+    # pods: the periodic eval enters collectives, so whether it runs must
+    # be decided identically on every host (one host missing the eval
+    # data would otherwise hang the others in the merge collective)
+    from eld_tpu.parallel.multihost import all_hosts_agree
+
+    if not all_hosts_agree(bool(eval_loaders)) and eval_loaders:
+        print("[w] eval disabled: not every pod host can reach the eval "
+              "data", file=sys.stderr)
+        eval_loaders = {}
 
     engine = Engine(cfg)
     print(f"[i] using noise model {cfg.noise!r} (on-device)" if cfg.noise
@@ -108,6 +117,12 @@ def main(argv=None, extra=None):
                 engine.eval(eval_loaders[100], dataset_name="sid_eval_100", correct=True)
                 engine.eval(eval_loaders[300], dataset_name="sid_eval_300", correct=True)
             except Exception as e:
+                import jax
+
+                if jax.process_count() > 1:
+                    # a pod cannot safely continue after divergent control
+                    # flow inside a collective section
+                    raise
                 print(f"[w] eval failed: {e}", file=sys.stderr)
     return engine
 

@@ -187,3 +187,11 @@ def test_multihost_payload_helpers(rng):
     buf = _encode(big, 64)  # must NOT raise on the encoding host
     with pytest.raises(ValueError, match="every process"):
         _decode(buf, 64)
+
+
+def test_all_hosts_agree_single_process():
+    from eld_tpu.parallel.multihost import all_hosts_agree
+
+    assert all_hosts_agree(True)
+    assert not all_hosts_agree(False)
+    assert all_hosts_agree({"nonempty": 1})  # truthiness semantics
