@@ -154,6 +154,13 @@ def normalize_bayer(packed, black_level, white_point=WHITE_POINT, xp=onp):
 def crop_center(img, cropx, cropy):
     """Center crop (..., H, W, C) channels-last image to (cropy, cropx)."""
     y, x = img.shape[-3], img.shape[-2]
+    if y < cropy or x < cropx:
+        # a negative start would silently wrap into a misaligned short
+        # crop and corrupt downstream metrics
+        raise ValueError(
+            f"crop_center: image {y}x{x} is smaller than the requested "
+            f"{cropy}x{cropx} crop (eval items must be at least crop-sized; "
+            "pass crop=False for small frames)")
     sx = x // 2 - cropx // 2
     sy = y // 2 - cropy // 2
     return img[..., sy : sy + cropy, sx : sx + cropx, :]

@@ -17,8 +17,12 @@ per host; the framework's multi-host story is four small pieces:
     process's local rows via ``jax.make_array_from_process_local_data``
     when more than one process is present.
   * ``train.Engine`` — refuses to run on a multi-process runtime unless
-    ``cfg.multihost`` is set (silent batch duplication otherwise), and
-    gates checkpoint/TensorBoard writes and eval to process 0.
+    ``cfg.multihost`` is set (silent batch duplication otherwise).
+    Checkpoint saves are COLLECTIVE (every process must enter save();
+    orbax gates the actual write to the primary host — an is_host0()
+    gate around save would deadlock the pod), eval stride-shards the
+    items across hosts and merges metrics via allgather, and only
+    TensorBoard/log writes are host-0-gated.
 
 Training then runs the exact same jitted program as single-host: the
 mesh spans all global devices and XLA's collectives ride ICI/DCN.
@@ -40,14 +44,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     Call this before anything else touches the XLA backend.  Outcomes:
       * cluster found (auto-detected or explicit args) -> initialized;
-      * no cluster environment (ValueError from jax) AND no explicit args
-        -> clean single-process fallback;
-      * explicit args given but initialization failed -> re-raised: a
-        typo'd coordinator address must NOT silently degrade into N
-        uncoordinated single-process runs training on duplicate data;
-      * called too late / twice (RuntimeError from jax) -> re-raised when
-        ``strict`` (multihost was explicitly requested) or args were
-        explicit; LOUD warning otherwise.
+      * no cluster environment (ValueError from jax) AND neither explicit
+        args nor ``strict`` -> clean single-process fallback;
+      * explicit args or ``strict`` (the user asked for multihost by
+        name) but no cluster found -> re-raised: a typo'd coordinator
+        address or failed auto-detection must NOT silently degrade into
+        N uncoordinated single-process runs training on duplicate data;
+      * called too late / twice (RuntimeError from jax): if the runtime
+        is ALREADY multi-process the pod is coordinated — fall through
+        quietly; otherwise re-raise when ``strict`` or args were
+        explicit, LOUD warning when not.
     """
     explicit = (coordinator_address is not None or num_processes is not None
                 or process_id is not None)
@@ -57,28 +63,40 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except ValueError:
+    except ValueError as e:
         # "coordinator_address should be defined": no cluster environment
-        # to detect.  Only a clean single-process fallback when the caller
-        # didn't name a cluster; with explicit args this is a config error.
+        # to detect.  Only a clean single-process fallback when multihost
+        # wasn't requested by name and no cluster was named; otherwise
+        # this is a config/environment error the user must see.
         if explicit:
             raise
+        if strict:
+            raise ValueError(
+                f"multihost was explicitly requested but no cluster "
+                f"environment could be detected: {e}. Pass "
+                "coordinator_address/num_processes/process_id (or set the "
+                "cluster environment) — continuing would train N "
+                "uncoordinated copies on duplicate data.") from e
     except RuntimeError as e:
         # typically "initialize() called after backend init" or "already
-        # initialized" — on a real cluster an uncoordinated continuation
-        # means hosts silently train on duplicate data
-        if (strict or explicit) and jax.process_count() == 1:
+        # initialized"
+        if jax.process_count() > 1:
+            # the distributed runtime is already up: the pod IS
+            # coordinated; a late duplicate initialize() call is harmless
+            pass
+        elif strict or explicit:
             raise RuntimeError(
                 f"multihost was explicitly requested but "
                 f"jax.distributed.initialize() failed: {e}. Call "
                 "initialize_multihost() before any other JAX API use "
                 "(device queries, array creation) initializes the XLA "
                 "backend.") from e
-        warnings.warn(
-            f"jax.distributed.initialize() failed: {e} — continuing with "
-            f"the current topology ({jax.process_count()} process(es)). "
-            "On a real cluster this means hosts are NOT coordinated; call "
-            "initialize_multihost() before any other JAX API use.")
+        else:
+            warnings.warn(
+                f"jax.distributed.initialize() failed: {e} — continuing "
+                "single-process. On a real cluster this means hosts are "
+                "NOT coordinated; call initialize_multihost() before any "
+                "other JAX API use.")
     return host_shard()
 
 

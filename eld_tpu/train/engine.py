@@ -48,8 +48,13 @@ from eld_tpu.utils.logging import (
 
 class Engine:
     def __init__(self, cfg: Config, mesh=None):
+        from eld_tpu.parallel.multihost import is_host0
+
         self.cfg = cfg
-        self.best_val_loss = 1e6
+        # per-(dataset, metric) best values for best-checkpoint tracking;
+        # persisted to best_val.json so --resume does not overwrite the
+        # true best with the first post-resume eval
+        self.best_val: dict = {}
         self.writer = None
         self.throughput = ThroughputMeter()
         self._key = jax.random.PRNGKey(cfg.seed)
@@ -57,7 +62,7 @@ class Engine:
         # multi-process coherence: on a pod, running without --multihost
         # would stitch duplicate per-host batches into the global array
         # (every host loads all rows) — refuse loudly instead.
-        self.host0 = jax.process_index() == 0
+        self.host0 = is_host0()
         if jax.process_count() > 1:
             if not cfg.multihost:
                 raise RuntimeError(
@@ -311,20 +316,36 @@ class Engine:
         save_png(os.path.join(d, in_name), inp_im)
         save_png(os.path.join(d, "t_label.png"), tgt_im)
 
+    def _local_items(self, loader):
+        """Yield this process's stride of the items: rank, rank+world, ...
+
+        Params are replicated, so eval/test items shard across pod
+        processes: every host works concurrently (a host-0-only eval
+        would leave the other hosts parked inside the merge collective
+        for the whole eval loop — a stall that bounded-timeout backends
+        abort).  Batch-1 Loaders are indexed directly so skipped items
+        are never loaded/decoded (full-frame raws are multi-MB);
+        otherwise the skip happens after materialization."""
+        rank, world = jax.process_index(), jax.process_count()
+        n = len(loader)
+        ds = getattr(loader, "dataset", None)
+        if (world > 1 and ds is not None
+                and getattr(loader, "batch_size", None) == 1
+                and not getattr(loader, "shuffle", False)):
+            collate = getattr(loader, "collate", lambda items: items[0])
+            for i in range(rank, n, world):
+                yield i, n, collate([ds[i]])
+            return
+        for i, item in enumerate(loader):
+            if i % world == rank:
+                yield i, n, item
+
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
              correct: bool = True, crop: bool = True, **kw):
         meters = AverageMeters()
         world = jax.process_count()
-        rank = jax.process_index()
-        # params are replicated, so the items shard by stride across pod
-        # processes: every host works concurrently (a host-0-only eval
-        # would leave the other hosts parked inside the merge collective
-        # for the whole eval loop — a stall that bounded-timeout backends
-        # abort).  Each host PNG-dumps only its own items.
-        n = len(loader)
-        for i, item in enumerate(loader):
-            if i % world != rank:
-                continue
+        # Each host PNG-dumps only its own items.
+        for i, n, item in self._local_items(loader):
             res = self.eval_one(item, correct=correct, crop=crop,
                                 savedir=savedir, **kw)
             meters.update(res)
@@ -348,17 +369,57 @@ class Engine:
         if self.host0 and self.writer is not None:
             write_loss(self.writer, os.path.join("eval", dataset_name),
                        meters, self.epoch)
-        if loss_key is not None and meters[loss_key] < self.best_val_loss:
-            self.best_val_loss = meters[loss_key]
+        if loss_key is not None and self._is_new_best(
+                dataset_name, loss_key, meters[loss_key]):
             self.save(label=f"best_{loss_key}_{dataset_name}")
         return meters
 
+    # quality metrics are maximized; anything else (Pixel, losses) is
+    # minimized — the reference's `val < best` (engine.py:91-97) assumed
+    # loss keys and silently tracked the WORST model for PSNR/SSIM
+    _MAXIMIZE_PREFIXES = ("PSNR", "SSIM", "NCC")
+
+    def _is_new_best(self, dataset_name: str, key: str, value: float) -> bool:
+        """Track the best value per (dataset, metric), direction-aware,
+        persisted across --resume (best_val.json)."""
+        maximize = key.startswith(self._MAXIMIZE_PREFIXES)
+        tag = f"{dataset_name}/{key}"
+        best = self.best_val.get(tag)
+        improved = (best is None or
+                    (value > best if maximize else value < best))
+        if improved:
+            self.best_val[tag] = float(value)
+            self._save_best_val()
+        return improved
+
+    @property
+    def _best_val_path(self):
+        return os.path.join(self.cfg.save_dir, "best_val.json")
+
+    def _save_best_val(self):
+        if not self.host0:
+            return  # merged meters agree on every host; one writer
+        import json
+
+        with open(self._best_val_path, "w") as f:
+            json.dump(self.best_val, f, indent=1)
+
+    def _load_best_val(self):
+        import json
+
+        try:
+            with open(self._best_val_path) as f:
+                self.best_val = json.load(f)
+        except (FileNotFoundError, ValueError):
+            pass
+
     def test(self, loader, savedir=None):
-        """Inference-only pass (no targets): denoise + save sRGB previews."""
+        """Inference-only pass (no targets): denoise + save sRGB previews.
+        Pod processes stride-shard the items (each writes only its own
+        PNGs — duplicated full passes would race on the shared paths)."""
         from eld_tpu.utils.images import save_png
 
-        n = len(loader)
-        for i, item in enumerate(loader):
+        for i, n, item in self._local_items(loader):
             inp = jnp.asarray(item["input"])
             if inp.ndim == 3:
                 inp = inp[None]
@@ -406,6 +467,7 @@ class Engine:
             )
         else:
             self.state = ckpt.restore_checkpoint(path, self.state)
+        self._load_best_val()
         self._commit_to_mesh()
         print(f"Resume from epoch {self.epoch}, iteration {self.iterations}")
         return path

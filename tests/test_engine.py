@@ -185,10 +185,10 @@ def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
     assert engine.iterations == 4
 
     # --multihost in an already-initialized single process is a hard error
-    # now (strict): the backend came up before initialize() could run, so
-    # on a real pod the hosts would silently train uncoordinated.  (In a
-    # fresh CLI process with no cluster environment it still falls back
-    # cleanly — jax raises ValueError there, not RuntimeError.)
+    # (strict): the backend came up before initialize() could run, so on
+    # a real pod the hosts would silently train uncoordinated.  (A fresh
+    # CLI process with no detectable cluster is ALSO a hard error now —
+    # ValueError — since the user asked for multihost by name.)
     import pytest
 
     with pytest.raises(RuntimeError, match="multihost"):
@@ -362,3 +362,81 @@ def test_variant_flags_reach_model_and_checkpoint_interchange(tmp_path, clean_st
             jax.tree_util.tree_leaves_with_path(var.state.params)):
         assert ka == kb
         onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+
+
+def test_best_checkpoint_direction_and_persistence(tmp_path, clean_store, monkeypatch):
+    """best-checkpoint tracking is direction-aware (PSNR/SSIM maximized —
+    the reference's `val < best` would track the WORST model), per-dataset,
+    and persisted across --resume (best_val.json)."""
+    eng = Engine(small_cfg(tmp_path))
+    saves = []
+    monkeypatch.setattr(eng, "save", lambda label=None, **k: saves.append(label))
+    vals = iter([30.0, 31.2, 28.0])
+    monkeypatch.setattr(eng, "eval_one", lambda item, **k: {"PSNR": next(vals)})
+
+    eng.eval([{}], dataset_name="d1", loss_key="PSNR")   # first -> best
+    eng.eval([{}], dataset_name="d1", loss_key="PSNR")   # 31.2 > 30 -> best
+    eng.eval([{}], dataset_name="d1", loss_key="PSNR")   # 28 < 31.2 -> no
+    assert saves == ["best_PSNR_d1", "best_PSNR_d1"]
+
+    # per-dataset threshold: a different dataset starts fresh
+    vals2 = iter([10.0])
+    monkeypatch.setattr(eng, "eval_one", lambda item, **k: {"PSNR": next(vals2)})
+    eng.eval([{}], dataset_name="d2", loss_key="PSNR")
+    assert saves[-1] == "best_PSNR_d2"
+
+    # loss-like keys are minimized
+    vals3 = iter([0.5, 0.7, 0.3])
+    monkeypatch.setattr(eng, "eval_one", lambda item, **k: {"Pixel": next(vals3)})
+    eng.eval([{}], dataset_name="d3", loss_key="Pixel")
+    eng.eval([{}], dataset_name="d3", loss_key="Pixel")  # 0.7 worse -> no
+    eng.eval([{}], dataset_name="d3", loss_key="Pixel")  # 0.3 better -> yes
+    assert saves.count("best_Pixel_d3") == 2
+
+    # persistence: a resumed engine must not treat the first eval as best
+    eng.save = Engine.save.__get__(eng)  # restore the real save
+    eng.save(label="latest")
+    eng2 = Engine(small_cfg(tmp_path, resume=True))
+    assert eng2.best_val["d1/PSNR"] == 31.2
+    saves2 = []
+    monkeypatch.setattr(eng2, "save", lambda label=None, **k: saves2.append(label))
+    monkeypatch.setattr(eng2, "eval_one", lambda item, **k: {"PSNR": 29.0})
+    eng2.eval([{}], dataset_name="d1", loss_key="PSNR")  # 29 < 31.2 -> no
+    assert saves2 == []
+
+
+def test_crop_center_rejects_small_images():
+    import pytest
+
+    from eld_tpu.core.packing import crop_center
+
+    with pytest.raises(ValueError, match="smaller than"):
+        crop_center(onp.zeros((1, 256, 600, 4), onp.float32), 512, 512)
+
+
+def test_pod_eval_skips_loading_other_hosts_items(tmp_path, clean_store, rng, monkeypatch):
+    """On pods, batch-1 unshuffled eval Loaders are indexed directly so a
+    host never loads/decodes items belonging to other ranks (full-frame
+    raws are multi-MB)."""
+    import eld_tpu.train.engine as engine_mod
+    import eld_tpu.parallel.multihost as mh
+
+    eng = Engine(small_cfg(tmp_path))
+    fetched = []
+
+    class CountingDataset:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            fetched.append(i)
+            return {"input": rng.random((16, 16, 4), dtype=onp.float32),
+                    "target": rng.random((16, 16, 4), dtype=onp.float32)}
+
+    loader = Loader(CountingDataset(), batch_size=1, num_workers=0)
+    monkeypatch.setattr(engine_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(engine_mod.jax, "process_index", lambda: 1)
+    monkeypatch.setattr(mh, "allgather_objects", lambda obj, **k: [obj, obj])
+    res = eng.eval(loader, dataset_name="x", correct=True, crop=False)
+    assert fetched == [1, 3, 5]          # only this rank's stride
+    assert onp.isfinite(res["PSNR"])
