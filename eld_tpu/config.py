@@ -62,6 +62,8 @@ class Config:
     bf16: bool = False         # bf16 compute dtype (params stay f32)
     remat: bool = False        # rematerialize U-Net levels
     skip_mode: str = "concat"  # "split": concat-free decoder (exact reparam)
+    skip_bf16: bool = False    # store U-Net skip activations in bf16 (halves
+                               # their HBM traffic; ~3e-3 forward delta on f32)
     upsample: str = "convt"    # "d2s": 1x1-conv + depth-to-space (exact reparam)
     k_mode: str = "overridden"  # noise K sampling: overridden|calibrated
     profile: bool = False      # jax.profiler trace of the first train steps
@@ -119,6 +121,7 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
     t.add_argument("--remat", action="store_true")
     t.add_argument("--skip_mode", type=str, default="concat",
                    choices=["concat", "split"])
+    t.add_argument("--skip_bf16", action="store_true")
     t.add_argument("--upsample", type=str, default="convt",
                    choices=["convt", "d2s"])
     t.add_argument("--k_mode", type=str, default="overridden",

@@ -199,6 +199,14 @@ class UNetSeeInDark(nn.Module):
     remat: bool = False          # checkpoint each level (full-frame eval)
     skip_mode: str = "concat"    # "split": concat-free decoder (same params)
     upsample: str = "convt"      # "d2s": 1x1-conv + depth-to-space (same params)
+    # Storage dtype for the encoder skip activations (None = compute dtype).
+    # jnp.bfloat16 halves the HBM bytes of the residuals that live across
+    # the whole encoder->decoder span (the dominant long-lived activations
+    # at 512^2) while keeping every matmul in the compute dtype — the
+    # quality-conservative half of VERDICT r2 #4's bf16 idea for f32 runs.
+    # NOT an exact re-parameterization: forward changes at bf16 rounding
+    # scale (~3e-3 relative); params/tree unchanged (checkpoint-compatible).
+    skip_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -226,7 +234,8 @@ class UNetSeeInDark(nn.Module):
         for level, width in enumerate(widths):
             feats = block(width, in_feats, dtype=self.dtype, name=f"enc{level}")(feats)
             if level < 4:
-                skips.append(feats)
+                skips.append(feats if self.skip_dtype is None
+                             else feats.astype(self.skip_dtype))
                 feats = max_pool_2x2(feats)
             in_feats = width
 
@@ -244,11 +253,14 @@ class UNetSeeInDark(nn.Module):
                     use_bias=True,
                     bias_init=_torch_uniform_init(width * 4),
                 )(feats)
+            # skips stored in skip_dtype upcast here; XLA fuses the convert
+            # into the consuming conv so only the narrow copy hits HBM
+            skip = skips[level].astype(self.dtype)
             if self.skip_mode == "split":
                 feats = dec_block(width, (width, width), dtype=self.dtype,
-                                  name=f"dec{level}")(feats, skips[level])
+                                  name=f"dec{level}")(feats, skip)
             else:
-                feats = jnp.concatenate([feats, skips[level]], axis=-1)
+                feats = jnp.concatenate([feats, skip], axis=-1)
                 feats = block(width, 2 * width, dtype=self.dtype,
                               name=f"dec{level}")(feats)
             in_feats = width

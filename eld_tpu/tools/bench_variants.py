@@ -46,7 +46,8 @@ COMBO_TIMEOUT_S = 600
 
 
 def _measure_train(arch: str, skip_mode: str, upsample: str,
-                   remat: bool = False) -> dict:
+                   remat: bool = False, f32: bool = False,
+                   skip_bf16: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as onp
@@ -55,8 +56,10 @@ def _measure_train(arch: str, skip_mode: str, upsample: str,
     from eld_tpu.noise import load_camera_params
     from eld_tpu.train import create_train_state, make_train_step
 
-    model = build_arch(arch, 4, 4, dtype=jnp.bfloat16,
-                       skip_mode=skip_mode, upsample=upsample, remat=remat)
+    model = build_arch(arch, 4, 4,
+                       dtype=jnp.float32 if f32 else jnp.bfloat16,
+                       skip_mode=skip_mode, upsample=upsample, remat=remat,
+                       skip_dtype=jnp.bfloat16 if skip_bf16 else None)
     bank = load_camera_params()
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, PATCH, PATCH, 4))
@@ -123,9 +126,13 @@ def _child(argv):
     mode = argv[0]
     if mode == "train":
         arch, skip_mode, upsample = argv[1:4]
-        remat = "remat" in argv[4:]
-        rec = _measure_train(arch, skip_mode, upsample, remat=remat)
-        rec.update(mode="train", arch=arch, remat=remat)
+        flags = argv[4:]
+        remat, f32, skip_bf16 = ("remat" in flags, "f32" in flags,
+                                 "skipbf16" in flags)
+        rec = _measure_train(arch, skip_mode, upsample, remat=remat,
+                             f32=f32, skip_bf16=skip_bf16)
+        rec.update(mode="train", arch=arch, remat=remat, f32=f32,
+                   skip_bf16=skip_bf16)
     else:
         skip_mode, upsample = argv[1:3]
         rec = _measure_eval(skip_mode, upsample)
@@ -152,6 +159,12 @@ def main():
     # remat-vs-traffic tradeoff on the stock decoders (VERDICT r2 #4)
     combos += [("train", "unet_s2d", "concat", "convt", "remat"),
                ("train", "unet", "concat", "convt", "remat")]
+    # bf16 skip storage on the f32 (parity-dtype) path: f32 baseline vs
+    # f32-compute + bf16-stored skips (the quality-conservative traffic cut)
+    combos += [("train", "unet", "concat", "convt", "f32"),
+               ("train", "unet", "concat", "convt", "f32", "skipbf16"),
+               ("train", "unet_s2d", "concat", "convt", "f32"),
+               ("train", "unet_s2d", "concat", "convt", "f32", "skipbf16")]
     combos += [("eval", sm, up)
                for sm, up in itertools.product(("concat", "split"),
                                                ("convt", "d2s"))]

@@ -97,6 +97,7 @@ class Engine:
             remat=cfg.remat,
             skip_mode=cfg.skip_mode,
             upsample=cfg.upsample,
+            skip_dtype=_jnp.bfloat16 if cfg.skip_bf16 else None,
         )
         self.state = create_train_state(
             self.model,

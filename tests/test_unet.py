@@ -228,3 +228,47 @@ def test_variant_flags_validated():
     with pytest.raises(ValueError, match="upsample"):
         UNetSeeInDark(base_width=4, upsample="D2S").init(
             jax.random.PRNGKey(0), x)
+
+
+def test_skip_bf16_storage(rng):
+    """skip_dtype=bf16 (VERDICT r2 #4's quality-conservative half): param
+    tree unchanged (checkpoint-compatible), forward within bf16 rounding
+    of the f32 model, gradients finite and close in direction."""
+    import jax.numpy as jnp
+
+    from eld_tpu.models.unet import UNetSeeInDark
+
+    x = jnp.asarray(rng.random((2, 32, 32, 4), dtype=onp.float32))
+    base = UNetSeeInDark(base_width=4)
+    params = base.init(jax.random.PRNGKey(7), x)["params"]
+    y0 = base.apply({"params": params}, x)
+
+    m = UNetSeeInDark(base_width=4, skip_dtype=jnp.bfloat16)
+    p2 = m.init(jax.random.PRNGKey(7), x)["params"]
+    flat0 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(p2))
+    assert set(flat2) == {k for k, _ in flat0}
+    for k, v in flat2.items():
+        assert v.dtype == jnp.float32, k  # params stay f32
+
+    y = m.apply({"params": params}, x)
+    assert y.dtype == y0.dtype
+    # bf16 has ~3 decimal digits; the net amplifies a little
+    onp.testing.assert_allclose(onp.asarray(y), onp.asarray(y0),
+                                rtol=0, atol=3e-2)
+    err = float(jnp.max(jnp.abs(y - y0)))
+    assert err > 0.0  # it IS a lossy storage path, not a no-op
+
+    def loss(p, model):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    g0 = jax.grad(loss)(params, base)
+    g = jax.grad(loss)(params, m)
+    dots, n0, n1 = 0.0, 0.0, 0.0
+    for (_, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                              jax.tree_util.tree_leaves_with_path(g)):
+        a, b = onp.asarray(a, onp.float64), onp.asarray(b, onp.float64)
+        assert onp.all(onp.isfinite(b))
+        dots += float((a * b).sum()); n0 += float((a * a).sum()); n1 += float((b * b).sum())
+    cos = dots / ((n0 ** 0.5) * (n1 ** 0.5))
+    assert cos > 0.999, cos
