@@ -24,6 +24,11 @@ the same flags: the decoder-side concat of the finest level is largest
 there.
 
 Usage (on the TPU):  python -m eld_tpu.tools.bench_variants
+With no TPU attached: ``--aot [v5e:2x2]`` compiles every combo against an
+offline TPU topology descriptor (tools/aot.py) and reports the XLA:TPU
+cost/memory analysis instead of wall-clock — the real compiler's
+bytes-per-step attribution, available even while the device tunnel is
+down (children force the CPU host so nothing can hang on a wedged grant).
 Reference workload benchmarked: train_syn.py:100-113 (512^2 patches).
 """
 
@@ -49,25 +54,9 @@ def _measure_train(arch: str, skip_mode: str, upsample: str,
                    remat: bool = False, f32: bool = False,
                    skip_bf16: bool = False) -> dict:
     import jax
-    import jax.numpy as jnp
-    import numpy as onp
 
-    from eld_tpu.models import build_arch
-    from eld_tpu.noise import load_camera_params
-    from eld_tpu.train import create_train_state, make_train_step
-
-    model = build_arch(arch, 4, 4,
-                       dtype=jnp.float32 if f32 else jnp.bfloat16,
-                       skip_mode=skip_mode, upsample=upsample, remat=remat,
-                       skip_dtype=jnp.bfloat16 if skip_bf16 else None)
-    bank = load_camera_params()
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               (1, PATCH, PATCH, 4))
-    step = make_train_step(model, loss="l1", noise_model="eld", bank=bank)
-    clean = jnp.asarray(onp.random.default_rng(0).random(
-        (BATCH, PATCH, PATCH, 4), dtype=onp.float32))
-    data = {"clean": clean}
-
+    state, step, data = _build_train(arch, skip_mode, upsample, remat, f32,
+                                     skip_bf16)
     rec = {}
     try:
         # AOT-compile once and time THAT executable (calling the jit
@@ -99,6 +88,71 @@ def _measure_train(arch: str, skip_mode: str, upsample: str,
     return rec
 
 
+def _build_train(arch, skip_mode, upsample, remat, f32, skip_bf16,
+                 noise_impl="auto"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch(arch, 4, 4,
+                       dtype=jnp.float32 if f32 else jnp.bfloat16,
+                       skip_mode=skip_mode, upsample=upsample, remat=remat,
+                       skip_dtype=jnp.bfloat16 if skip_bf16 else None)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, PATCH, PATCH, 4))
+    step = make_train_step(model, loss="l1", noise_model="eld", bank=bank,
+                           noise_impl=noise_impl)
+    clean = jnp.asarray(onp.random.default_rng(0).random(
+        (BATCH, PATCH, PATCH, 4), dtype=onp.float32))
+    return state, step, {"clean": clean}
+
+
+def _measure_train_aot(topology, arch, skip_mode, upsample,
+                       remat=False, f32=False, skip_bf16=False) -> dict:
+    """Static XLA:TPU cost/memory analysis via an offline topology —
+    mirrors the on-TPU 'auto' noise choice (pallas at this geometry)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from eld_tpu.tools.aot import compile_for, cost_record
+
+    aligned = (PATCH * 4) % 128 == 0 and PATCH % 8 == 0
+    state, step, data = _build_train(arch, skip_mode, upsample, remat, f32,
+                                     skip_bf16,
+                                     noise_impl="pallas" if aligned else "jnp")
+    compiled = compile_for(step, state, data, jax.random.PRNGKey(0),
+                           topology=topology)
+    rec = cost_record(compiled)
+    rec["aot_topology"] = topology
+    return rec
+
+
+def _measure_eval_aot(topology, skip_mode: str, upsample: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from eld_tpu.models import build_arch
+    from eld_tpu.tools.aot import compile_for, cost_record
+    from eld_tpu.train.steps import make_eval_forward
+
+    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16,
+                       skip_mode=skip_mode, upsample=upsample)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 4)))["params"]
+    fwd = make_eval_forward(model, chop=True)
+    x = jax.ShapeDtypeStruct((1, EVAL_H, EVAL_W, 4), jnp.float32)
+    compiled = compile_for(fwd, params, x, topology=topology)
+    rec = cost_record(compiled)
+    rec["aot_topology"] = topology
+    return rec
+
+
 def _measure_eval(skip_mode: str, upsample: str) -> dict:
     import jax
     import jax.numpy as jnp
@@ -123,34 +177,49 @@ def _measure_eval(skip_mode: str, upsample: str) -> dict:
 
 
 def _child(argv):
+    aot = os.environ.get("ELD_BENCH_VARIANTS_AOT")  # topology name or unset
     mode = argv[0]
     if mode == "train":
         arch, skip_mode, upsample = argv[1:4]
         flags = argv[4:]
         remat, f32, skip_bf16 = ("remat" in flags, "f32" in flags,
                                  "skipbf16" in flags)
-        rec = _measure_train(arch, skip_mode, upsample, remat=remat,
-                             f32=f32, skip_bf16=skip_bf16)
+        if aot:
+            rec = _measure_train_aot(aot, arch, skip_mode, upsample,
+                                     remat=remat, f32=f32,
+                                     skip_bf16=skip_bf16)
+        else:
+            rec = _measure_train(arch, skip_mode, upsample, remat=remat,
+                                 f32=f32, skip_bf16=skip_bf16)
         rec.update(mode="train", arch=arch, remat=remat, f32=f32,
                    skip_bf16=skip_bf16)
     else:
         skip_mode, upsample = argv[1:3]
-        rec = _measure_eval(skip_mode, upsample)
+        rec = (_measure_eval_aot(aot, skip_mode, upsample) if aot
+               else _measure_eval(skip_mode, upsample))
         rec.update(mode="eval_fullframe", arch="unet")
     rec.update(skip_mode=skip_mode, upsample=upsample)
     print(json.dumps(rec), flush=True)
 
 
 def main():
-    sys.path.insert(0, ".")
-    try:
-        from bench import probe_device
-        platform = probe_device()
-    except ImportError:
-        platform = "unknown"
-    if platform is None:
-        print(json.dumps({"error": "tpu_unreachable"}))
-        sys.exit(2)
+    aot = None
+    if "--aot" in sys.argv:
+        i = sys.argv.index("--aot")
+        aot = (sys.argv[i + 1] if i + 1 < len(sys.argv)
+               and not sys.argv[i + 1].startswith("-") else "v5e:2x2")
+        os.environ["ELD_BENCH_VARIANTS_AOT"] = aot
+        platform = f"tpu-aot:{aot}"
+    else:
+        sys.path.insert(0, ".")
+        try:
+            from bench import probe_device
+            platform = probe_device()
+        except ImportError:
+            platform = "unknown"
+        if platform is None:
+            print(json.dumps({"error": "tpu_unreachable"}))
+            sys.exit(2)
 
     results = []
     combos = [("train", arch, sm, up)

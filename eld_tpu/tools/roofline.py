@@ -14,6 +14,12 @@ TPU-native observability stack.
 Usage:
   python -m eld_tpu.tools.roofline --arch unet_s2d --batch 16 --bf16
   python -m eld_tpu.tools.roofline --arch unet --skip_mode split --no-run
+  python -m eld_tpu.tools.roofline --arch unet --aot v5e:2x2   # no TPU needed
+
+``--aot TOPOLOGY`` compiles against an offline TPU topology descriptor
+(tools/aot.py): the real XLA:TPU cost/memory analysis with no device
+attached (static only — implies --no-run; forces the host CPU backend so
+a wedged device grant can't hang the report).
 
 Peaks default to TPU v5e (197 TFLOP/s bf16, 819 GB/s HBM); override with
 --peak_tflops / --peak_gbs for other chips.
@@ -37,13 +43,15 @@ def build_step(ns):
     from eld_tpu.train import create_train_state, make_train_step
 
     model = build_arch(
-        ns.arch, 4, 4,
+        ns.arch, 4, 4, base_width=ns.base_width,
         dtype=jnp.bfloat16 if ns.bf16 else jnp.float32,
-        remat=ns.remat, skip_mode=ns.skip_mode, upsample=ns.upsample)
+        remat=ns.remat, skip_mode=ns.skip_mode, upsample=ns.upsample,
+        skip_dtype=jnp.bfloat16 if ns.skip_bf16 else None)
     bank = load_camera_params()
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, ns.patch, ns.patch, 4))
-    step = make_train_step(model, loss="l1", noise_model=ns.noise, bank=bank)
+    step = make_train_step(model, loss="l1", noise_model=ns.noise, bank=bank,
+                           noise_impl=ns.noise_impl)
     clean = jnp.asarray(onp.random.default_rng(0).random(
         (ns.batch, ns.patch, ns.patch, 4), dtype=onp.float32))
     return state, step, {"clean": clean}
@@ -60,6 +68,14 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true")
     p.add_argument("--skip_mode", default="concat", choices=["concat", "split"])
     p.add_argument("--upsample", default="convt", choices=["convt", "d2s"])
+    p.add_argument("--skip_bf16", action="store_true")
+    p.add_argument("--base_width", type=int, default=32)
+    p.add_argument("--noise_impl", default="auto",
+                   choices=["auto", "pallas", "jnp"])
+    p.add_argument("--aot", metavar="TOPOLOGY", default=None,
+                   help="compile against an offline TPU topology (e.g. "
+                        "v5e:2x2) — static analysis with no device; "
+                        "implies --no-run")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip peak TFLOP/s at the compute dtype (v5e bf16)")
     p.add_argument("--peak_gbs", type=float, default=819.0,
@@ -71,8 +87,24 @@ def main(argv=None):
 
     import jax
 
+    if ns.aot:
+        # static-only, and never let a wedged device grant hang the report
+        jax.config.update("jax_platforms", "cpu")
+        ns.run = False
+        if ns.noise_impl == "auto":
+            # mirror the on-TPU "auto" choice (steps._use_pallas_noise
+            # would see the CPU host here and wrongly pick jnp)
+            aligned = (ns.patch * 4) % 128 == 0 and ns.patch % 8 == 0
+            ns.noise_impl = "pallas" if aligned else "jnp"
+
     state, step, data = build_step(ns)
-    compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
+    if ns.aot:
+        from eld_tpu.tools.aot import compile_for
+
+        compiled = compile_for(step, state, data, jax.random.PRNGKey(0),
+                               topology=ns.aot)
+    else:
+        compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -85,6 +117,10 @@ def main(argv=None):
         "arch": ns.arch, "batch": ns.batch, "patch": ns.patch,
         "noise": ns.noise, "bf16": ns.bf16, "remat": ns.remat,
         "skip_mode": ns.skip_mode, "upsample": ns.upsample,
+        "skip_bf16": ns.skip_bf16,
+        **({"aot_topology": ns.aot,
+            "hbm_temp_bytes": compiled.memory_analysis().temp_size_in_bytes}
+           if ns.aot else {}),
         "flops_per_step": flops, "bytes_per_step": nbytes,
         "arith_intensity_flop_per_byte": round(intensity, 1),
         "ridge_flop_per_byte": round(ridge, 1),
