@@ -80,6 +80,40 @@ def compile_for(jitted, *args, sharding=None, topology: str = DEFAULT_TOPOLOGY):
     return jitted.lower(*abstractify(args, sharding)).compile()
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+
+
+def collective_bytes(hlo: str) -> dict:
+    """Count the cross-chip collectives in compiled HLO text and sum their
+    payload bytes (output shapes of all-reduce / all-gather /
+    reduce-scatter, async -start forms included, -done echoes skipped).
+
+    This is the traffic XLA actually put on ICI for a sharded program —
+    the measured form of BASELINE.md's hand-derived 31 MB/step gradient
+    all-reduce."""
+    import re
+
+    ops = r"all-reduce|all-gather|reduce-scatter|collective-permute"
+    pat = re.compile(rf"= (.*?)\s(?:{ops})(?:-start)?\(")
+    total, count = 0, 0
+    for line in hlo.splitlines():
+        m = pat.search(line)
+        if not m:
+            continue
+        count += 1
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES[dt]
+    return {"collective_ops": count, "collective_bytes": total}
+
+
 def cost_record(compiled) -> dict:
     """FLOPs / bytes / HBM-footprint dict from a compiled executable."""
     ca = compiled.cost_analysis()

@@ -33,7 +33,7 @@ import sys
 import time
 
 
-def build_step(ns):
+def build_step(ns, mesh=None):
     import jax
     import jax.numpy as jnp
     import numpy as onp
@@ -51,9 +51,10 @@ def build_step(ns):
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (1, ns.patch, ns.patch, 4))
     step = make_train_step(model, loss="l1", noise_model=ns.noise, bank=bank,
-                           noise_impl=ns.noise_impl)
+                           noise_impl=ns.noise_impl, mesh=mesh)
+    n = ns.batch * (ns.mesh_data if mesh is not None else 1)
     clean = jnp.asarray(onp.random.default_rng(0).random(
-        (ns.batch, ns.patch, ns.patch, 4), dtype=onp.float32))
+        (n, ns.patch, ns.patch, 4), dtype=onp.float32))
     return state, step, {"clean": clean}
 
 
@@ -76,6 +77,11 @@ def main(argv=None):
                    help="compile against an offline TPU topology (e.g. "
                         "v5e:2x2) — static analysis with no device; "
                         "implies --no-run")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="with --aot: compile the DATA-parallel mesh step "
+                        "over this many topology chips (batch = per-chip "
+                        "batch x mesh_data) and report the gradient "
+                        "all-reduce traffic XLA inserted")
     p.add_argument("--peak_tflops", type=float, default=197.0,
                    help="chip peak TFLOP/s at the compute dtype (v5e bf16)")
     p.add_argument("--peak_gbs", type=float, default=819.0,
@@ -87,6 +93,8 @@ def main(argv=None):
 
     import jax
 
+    if ns.mesh_data > 1 and not ns.aot:
+        p.error("--mesh_data needs --aot (offline topology chips)")
     if ns.aot:
         # static-only, and never let a wedged device grant hang the report
         jax.config.update("jax_platforms", "cpu")
@@ -97,13 +105,30 @@ def main(argv=None):
             aligned = (ns.patch * 4) % 128 == 0 and ns.patch % 8 == 0
             ns.noise_impl = "pallas" if aligned else "jnp"
 
-    state, step, data = build_step(ns)
-    if ns.aot:
+    mesh_extra = {}
+    if ns.aot and ns.mesh_data > 1:
+        from eld_tpu.parallel.mesh import (MeshSpec, batch_sharding,
+                                           make_mesh, replicated)
+        from eld_tpu.tools import aot
+
+        mesh = make_mesh(MeshSpec(data=ns.mesh_data),
+                         devices=aot.topology_devices(ns.aot))
+        state, step, data = build_step(ns, mesh=mesh)
+        abstract = (aot.abstractify(state, replicated(mesh)),
+                    {"clean": aot.abstractify(data["clean"],
+                                              batch_sharding(mesh))},
+                    aot.abstractify(jax.random.PRNGKey(0), replicated(mesh)))
+        compiled = step.lower(*abstract).compile()
+        mesh_extra = aot.collective_bytes(compiled.as_text())
+        mesh_extra["mesh_data"] = ns.mesh_data
+    elif ns.aot:
         from eld_tpu.tools.aot import compile_for
 
+        state, step, data = build_step(ns)
         compiled = compile_for(step, state, data, jax.random.PRNGKey(0),
                                topology=ns.aot)
     else:
+        state, step, data = build_step(ns)
         compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
@@ -121,6 +146,7 @@ def main(argv=None):
         **({"aot_topology": ns.aot,
             "hbm_temp_bytes": compiled.memory_analysis().temp_size_in_bytes}
            if ns.aot else {}),
+        **mesh_extra,
         "flops_per_step": flops, "bytes_per_step": nbytes,
         "arith_intensity_flop_per_byte": round(intensity, 1),
         "ridge_flop_per_byte": round(ridge, 1),

@@ -79,3 +79,9 @@ def test_mesh8_train_step_compiles_for_v5e_2x4():
     assert "all-reduce" in hlo
     rec = aot.cost_record(compiled)
     assert rec["flops_per_step"] > 0 and rec["bytes_per_step"] > 0
+    # the ICI traffic accountant sees it: at least the f32 gradient
+    # payload (one all-reduce per fused gradient bucket)
+    coll = aot.collective_bytes(hlo)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    assert coll["collective_ops"] >= 1
+    assert coll["collective_bytes"] >= n_params * 4
