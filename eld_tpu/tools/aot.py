@@ -29,11 +29,36 @@ DEFAULT_TOPOLOGY = "v5e:2x2"
 
 
 def topology_devices(topology: str = DEFAULT_TOPOLOGY):
-    """The offline device list for a named TPU topology."""
+    """The offline device list for a named TPU topology.
+
+    Initializing the PJRT TPU plugin (even for a device-less topology
+    descriptor) takes libtpu's /tmp/libtpu_lockfile; a device probe
+    killed mid-claim can leave that lock stuck and every offline
+    compile then aborts.  Retry with the stale lock removed — the
+    offline path holds no device, so breaking the lock is safe here.
+    """
+    import os
+    import time
+
     from jax.experimental import topologies
 
-    topo = topologies.get_topology_desc(platform="tpu",
-                                        topology_name=topology)
+    last = None
+    for attempt in range(3):
+        try:
+            topo = topologies.get_topology_desc(platform="tpu",
+                                                topology_name=topology)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError
+            last = e
+            if "lockfile" not in str(e):
+                raise
+            try:
+                os.remove("/tmp/libtpu_lockfile")
+            except OSError:
+                pass
+            time.sleep(1.0 + attempt)
+    else:
+        raise last
     devs = topo.devices
     return list(devs() if callable(devs) else devs)
 
