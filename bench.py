@@ -81,25 +81,38 @@ def _diagnostic_record(error):
 
 def probe_device(timeout_s=PROBE_TIMEOUT_S):
     """First-touch watchdog: claim + compute on the device in a child with
-    a bounded timeout.  Returns the platform string, or None on hang/error."""
+    a bounded timeout.  Returns the platform string, or None on hang/error.
+
+    A probe killed mid-claim can leave libtpu's /tmp/libtpu_lockfile
+    stuck, which makes the NEXT claim abort instantly — a healthy chip
+    would then be misreported as unreachable.  One retry with the stale
+    lock removed (nothing else can hold it: this rig admits one client)."""
     code = (
         "import jax, jax.numpy as jnp\n"
         "d = jax.devices()\n"
         "assert float(jnp.ones((8, 8)).sum()) == 64.0\n"
         "print('PLATFORM:' + d[0].platform)\n"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None
-    if out.returncode != 0:
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            return None
+        if out.returncode == 0:
+            for line in out.stdout.splitlines():
+                if line.startswith("PLATFORM:"):
+                    return line.split(":", 1)[1]
+            return None
         sys.stderr.write(out.stderr[-2000:])
+        if attempt == 0 and "lockfile" in out.stderr:
+            try:
+                os.remove("/tmp/libtpu_lockfile")
+            except OSError:
+                pass
+            continue
         return None
-    for line in out.stdout.splitlines():
-        if line.startswith("PLATFORM:"):
-            return line.split(":", 1)[1]
     return None
 
 

@@ -221,6 +221,10 @@ def main():
             print(json.dumps({"error": "tpu_unreachable"}))
             sys.exit(2)
 
+    out_path = None
+    if "--out" in sys.argv:  # crash-proof: append each record as it lands
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
     results = []
     combos = [("train", arch, sm, up)
               for arch, sm, up in itertools.product(
@@ -251,6 +255,9 @@ def main():
                    "error": type(e).__name__}
         print(f"[variants] {label}: {rec}", file=sys.stderr)
         results.append(rec)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
     print(json.dumps({"platform": platform, "results": results}))
 
 
