@@ -28,6 +28,12 @@ def main(argv=None):
     pre.add_argument("--datadir", type=str, default="./data/ELD")
     pre.add_argument("--savedir", type=str, default=None)
     pre.add_argument("--scenes", type=int, default=10)
+    pre.add_argument("--suffix", type=str, default=None,
+                     help="override the per-camera raw suffix (e.g. .dng "
+                          "for a dataset converted with tools/convert_raw)")
+    pre.add_argument("--level", choices=list(IMG_IDS_SETS), default=None,
+                     help="evaluate only this amplification level "
+                          "(default: both x100 and x200)")
     ns, rest = pre.parse_known_args(argv)
     cfg = config_mod.parse(rest, train=False)
     if not (cfg.resume or cfg.model_path):
@@ -37,11 +43,15 @@ def main(argv=None):
         cameras = [(CAMERAS[cfg.include], SUFFIXES[cfg.include])]
     else:
         cameras = list(zip(CAMERAS[1:], SUFFIXES[1:]))  # default: 4-camera set
+    if ns.suffix:
+        cameras = [(cam, ns.suffix) for cam, _ in cameras]
+    levels = ({ns.level: IMG_IDS_SETS[ns.level]} if ns.level
+              else IMG_IDS_SETS)
 
     engine = Engine(cfg)
     scenes = list(range(1, ns.scenes + 1))
     results = {}
-    for level, img_ids in IMG_IDS_SETS.items():
+    for level, img_ids in levels.items():
         for camera, suffix in cameras:
             print(f"Eval camera {camera} {level}")
             ds = ELDEvalDataset(ns.datadir, (camera, suffix), scenes=scenes, img_ids=img_ids)

@@ -34,6 +34,14 @@ Both the straight forward and the ``--chop`` (``forward_chop``) protocol
 variants are covered, at the protocol's real crop geometry (512x512
 center crop over 512x512 packed frames => identity crop, the same no-op
 it is on full SID frames only at center).
+
+The OTHER released protocol — ``test_ELD.py``'s ELDEvalDataset (nearest
+ground truth of ids {1,6,11,16}, amplification ratio from EXIF iso*expo,
+full-frame crop=False eval) — is composed-diffed the same way
+(``test_composed_eld_protocol_parity``): our side derives the ratio from
+the real DNG IFD EXIF tags through the native decoder, the reference
+side from sidecars through an exifread stub, so EXIF parsing is
+independent between the stacks too.
 """
 
 import os
@@ -118,6 +126,28 @@ class _FakeRaw:
         return False
 
 
+class _ExifTag:
+    """exifread tag stand-in: the reference does ``eval(str(tag))``
+    (sid_dataset.py:27-28), so str() must be the numeric literal."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def __str__(self):
+        return repr(self._v)
+
+
+def _exif_process_file(f):
+    """exifread.process_file stand-in reading the fixture's ground-truth
+    sidecar — the reference side never parses our DNG bytes, so the two
+    stacks share no EXIF code either (ours decodes the real IFD tags)."""
+    z = onp.load(f.name + ".npz")
+    return {
+        "Image ExposureTime": _ExifTag(float(z["expo"])),
+        "Image ISOSpeedRatings": _ExifTag(int(z["iso"])),
+    }
+
+
 class _Interp1d:
     """torchinterp1d stand-in (absent in this image) — batched linear
     interpolation via searchsorted, same as test_reference_diff."""
@@ -159,7 +189,7 @@ def ref():
     skvideo_measure = _stub_module("skvideo.measure", strred=_unavailable)
     skvideo_utils = _stub_module("skvideo.utils", rgb2gray=_unavailable)
     skvideo.measure, skvideo.utils = skvideo_measure, skvideo_utils
-    exifread = _stub_module("exifread", process_file=_unavailable)
+    exifread = _stub_module("exifread", process_file=_exif_process_file)
     tinterp = _stub_module("torchinterp1d", Interp1d=_Interp1d)
     lmdb = _stub_module("lmdb")
 
@@ -255,22 +285,25 @@ def _mosaic(planes):
                     0, WHITE).astype(onp.uint16)
 
 
-def _write_raw(dirpath, fn, mosaic, expo):
+def _write_raw(dirpath, fn, mosaic, expo, iso=1600):
     from eld_tpu.data.rawio import ccm_from_colormatrix
     from tests.tiff_fixture import make_dng
 
     path = os.path.join(dirpath, fn)
     with open(path, "wb") as f:
-        f.write(make_dng(mosaic, iso=1600, exposure=expo,
+        f.write(make_dng(mosaic, iso=iso, exposure=expo,
                          black=(BLACK,) * 4, white=WHITE,
                          cfa=(0, 1, 1, 2), wb_neutral=(0.5, 1.0, 0.6),
                          ccm=CM))
     # ground truth for the rawpy stub: the cam->sRGB matrix our decoder
     # derives from the tag's 1e-4-quantized rationals (the conversion
-    # itself is unit-diffed in test_rawio.py)
+    # itself is unit-diffed in test_rawio.py); iso/expo feed the exifread
+    # stub (the DNG stores them at 1e-4 rational quantization — pick
+    # exposures exact at /10_000 so both sides see identical doubles)
     ccm = ccm_from_colormatrix(onp.round(CM * 10_000) / 10_000)
     onp.savez(path + ".npz", mosaic=mosaic, pattern=PATTERN,
-              black=onp.full(4, BLACK), wb=WB, ccm=ccm)
+              black=onp.full(4, BLACK), wb=WB, ccm=ccm,
+              expo=onp.float64(expo), iso=onp.int64(iso))
 
 
 @pytest.fixture(scope="module")
@@ -296,6 +329,31 @@ def sid_dir(tmp_path_factory):
         "".join(f"{s} {l} {r}\n" for s, l, r in pairs))
     return types.SimpleNamespace(root=str(root), pairs=pairs,
                                  listfile=str(listfile))
+
+
+@pytest.fixture(scope="module")
+def eld_dir(tmp_path_factory):
+    """ELD-layout directory (reference test_ELD.py): one camera dir with
+    scene-1/IMG_XXXX.dng — GT long exposures at ids {1,6,11,16}
+    (iso 100, 10 s) and noisy inputs at ids {4,9,14} (x100: iso 1000,
+    1/100 s) and {5,10,15} (x200: iso 1000, 1/200 s).  The amplification
+    ratio comes from EXIF iso*expo on BOTH sides (ours from the real DNG
+    IFD tags, the reference from the sidecar through the exifread stub)."""
+    root = tmp_path_factory.mktemp("eld_fixture")
+    scene_dir = os.path.join(str(root), "SonyA7S2", "scene-1")
+    os.makedirs(scene_dir)
+    rng = onp.random.default_rng(20260818)
+    scene = _smooth_scene(rng, n=256)
+    for gt_id in (1, 6, 11, 16):
+        _write_raw(scene_dir, f"IMG_{gt_id:04d}.dng", _mosaic(scene),
+                   expo=10.0, iso=100)
+    for img_id, ratio in ((4, 100.0), (9, 100.0), (14, 100.0),
+                          (5, 200.0), (10, 200.0), (15, 200.0)):
+        noisy = (scene / ratio
+                 + rng.normal(0.0, 0.004, scene.shape)).astype(onp.float32)
+        _write_raw(scene_dir, f"IMG_{img_id:04d}.dng", _mosaic(noisy),
+                   expo=10.0 / ratio / 10.0, iso=1000)
+    return str(root)
 
 
 @pytest.fixture(scope="module")
@@ -364,6 +422,55 @@ def _our_eval(sid_dir, pt_path, tmp, chop, stage_eval="raw"):
     return main(argv)
 
 
+def _ref_eld_eval(ref, eld_root, pt_path):
+    """The reference's composed ELD protocol: test_ELD.py:33-51 —
+    ELDEvalDataset (nearest-GT of {1,6,11,16}, EXIF iso*expo ratio) ->
+    DataLoader -> ELDModel.eval(correct=True, crop=False)."""
+    opt = types.SimpleNamespace(
+        gpu_ids=[], isTrain=False, checkpoints_dir=eld_root,
+        name="ref_eld_parity", netG="unet", channels=4,
+        stage_in="raw", stage_out="raw", stage_eval="raw",
+        chop=False, crf=False, resume=False, no_verbose=True,
+        model_path=None, gt_wb=False,
+    )
+    model = ref.eldm.ELDModel()
+    model.initialize(opt)
+    state = torch.load(pt_path, map_location="cpu", weights_only=False)
+    model.netG.load_state_dict(state["netG"])
+
+    out = {}
+    for level, img_ids in (("x100", [4, 9, 14]), ("x200", [5, 10, 15])):
+        ds = ref.sid.ELDEvalDataset(eld_root, ("SonyA7S2", ".dng"),
+                                    scenes=[1], img_ids=img_ids)
+        loader = torch.utils.data.DataLoader(
+            ds, batch_size=1, shuffle=False, num_workers=0)
+        acc = []
+        with torch.no_grad():
+            for data in loader:
+                acc.append(model.eval(data, savedir=None, correct=True,
+                                      crop=False))
+        out[level] = {
+            "PSNR": float(onp.mean([a["PSNR"] for a in acc])),
+            "SSIM": float(onp.mean([a["SSIM"] for a in acc])),
+        }
+    return out
+
+
+def _our_eld_eval(eld_root, pt_path, tmp):
+    """Our released CLI, end to end (tools/test_eld.main) — SonyA7S2 only
+    (--include 4), fixture suffix .dng, both amplification levels."""
+    from eld_tpu.tools.test_eld import main
+
+    res = main([
+        "--datadir", eld_root, "--scenes", "1", "--suffix", ".dng",
+        "--include", "4", "--name", "our_eld_parity",
+        "--checkpoints_dir", str(tmp),
+        "--model_path", pt_path, "--mesh_data", "1",
+        "--no-log", "--no-verbose",
+    ])
+    return {level: vals for (_cam, level), vals in res.items()}
+
+
 # ---------------------------------------------------------------------------
 # the parity assertions
 # ---------------------------------------------------------------------------
@@ -386,3 +493,22 @@ def test_composed_eval_protocol_parity(ref, sid_dir, pt_checkpoint,
         assert dssim <= 1e-3, (
             f"ratio {ratio}: SSIM {ours[ratio]['SSIM']:.5f} vs reference "
             f"{theirs[ratio]['SSIM']:.5f} (|d|={dssim:.5f})")
+
+
+def test_composed_eld_protocol_parity(ref, eld_dir, pt_checkpoint, tmp_path):
+    """The OTHER released eval protocol (test_ELD.py): nearest-GT pairing,
+    EXIF-derived amplification, full-frame (crop=False) corrected metrics —
+    composed end to end on both stacks, +-0.05 dB / 1e-3."""
+    theirs = _ref_eld_eval(ref, eld_dir, pt_checkpoint)
+    ours = _our_eld_eval(eld_dir, pt_checkpoint, tmp_path)
+
+    assert set(theirs) <= set(ours)
+    for level in theirs:
+        dpsnr = abs(theirs[level]["PSNR"] - ours[level]["PSNR"])
+        dssim = abs(theirs[level]["SSIM"] - ours[level]["SSIM"])
+        assert dpsnr <= 0.05, (
+            f"{level}: PSNR {ours[level]['PSNR']:.4f} vs reference "
+            f"{theirs[level]['PSNR']:.4f} (|d|={dpsnr:.4f} dB)")
+        assert dssim <= 1e-3, (
+            f"{level}: SSIM {ours[level]['SSIM']:.5f} vs reference "
+            f"{theirs[level]['SSIM']:.5f} (|d|={dssim:.5f})")
