@@ -140,7 +140,11 @@ def collective_bytes(hlo: str) -> dict:
 
 
 def cost_record(compiled) -> dict:
-    """FLOPs / bytes / HBM-footprint dict from a compiled executable."""
+    """FLOPs / bytes / HBM-footprint dict from a compiled executable.
+
+    For SPMD (multi-device) programs these numbers are PER-DEVICE — the
+    compiled module is the one program every chip runs (verified by the
+    spatial-eval window-fraction test in tests/test_aot.py)."""
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # older jax: one dict per device
         ca = ca[0]
@@ -152,3 +156,72 @@ def cost_record(compiled) -> dict:
         "hbm_argument_bytes": getattr(mem, "argument_size_in_bytes", None),
         "hbm_output_bytes": getattr(mem, "output_size_in_bytes", None),
     }
+
+
+def eval_spatial_record(topology: str = "v5e:2x4", spatial: int | None = None,
+                        h: int = 1424, w: int = 2128, batch: int = 1,
+                        arch: str = "unet") -> dict:
+    """Static XLA:TPU cost + ICI traffic of the spatially-sharded
+    full-frame eval (``parallel/spatial.py``) at the SID frame geometry,
+    compiled against an offline topology.  ``spatial=1`` compiles the
+    plain single-chip full-frame forward for comparison (the per-chip
+    HBM temp footprint is the number that shards down ~1/N; the halo
+    windows add ~2*halo/slab compute overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+    from eld_tpu.models import build_arch
+    from eld_tpu.parallel.mesh import MeshSpec, make_mesh
+    from eld_tpu.parallel.spatial import make_spatial_forward
+
+    devs = topology_devices(topology)
+    spatial = len(devs) if spatial is None else spatial
+    model = build_arch(arch, 4, 4, dtype=jnp.bfloat16)
+    params = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 4), jnp.float32))["params"]
+    x = jax.ShapeDtypeStruct((batch, h, w, 4), jnp.float32)
+
+    if spatial == 1:
+        fwd = jax.jit(lambda p, t: model.apply({"params": p}, t))
+        compiled = compile_for(fwd, params, x, topology=topology)
+    else:
+        mesh = make_mesh(MeshSpec(data=1, spatial=spatial),
+                         devices=devs[:spatial])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        fwd = make_spatial_forward(
+            lambda p, t: model.apply({"params": p}, t), mesh)
+        compiled = fwd.lower(abstractify(params, repl),
+                             abstractify(x, repl)).compile()
+    rec = cost_record(compiled)
+    rec.update(collective_bytes(compiled.as_text()),
+               aot_topology=topology, spatial=spatial,
+               h=h, w=w, batch=batch, arch=arch)
+    return rec
+
+
+def _main(argv=None):
+    """``python -m eld_tpu.tools.aot spatial-eval [--topology v5e:2x4]
+    [--spatial N] [--h 1424] [--w 2128]`` — one JSON line."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("report", choices=["spatial-eval"])
+    p.add_argument("--topology", default="v5e:2x4")
+    p.add_argument("--spatial", type=int, default=None)
+    p.add_argument("--h", type=int, default=1424)
+    p.add_argument("--w", type=int, default=2128)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--arch", default="unet")
+    ns = p.parse_args(argv)
+    rec = eval_spatial_record(ns.topology, ns.spatial, ns.h, ns.w,
+                              ns.batch, ns.arch)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    _main()
