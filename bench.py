@@ -86,7 +86,7 @@ def probe_device(timeout_s=PROBE_TIMEOUT_S):
     A probe killed mid-claim can leave libtpu's /tmp/libtpu_lockfile
     stuck, which makes the NEXT claim abort instantly — a healthy chip
     would then be misreported as unreachable.  One retry with the stale
-    lock removed (nothing else can hold it: this rig admits one client)."""
+    lock removed (flock staleness check; a live holder is left alone)."""
     code = (
         "import jax, jax.numpy as jnp\n"
         "d = jax.devices()\n"
@@ -107,11 +107,10 @@ def probe_device(timeout_s=PROBE_TIMEOUT_S):
             return None
         sys.stderr.write(out.stderr[-2000:])
         if attempt == 0 and "lockfile" in out.stderr:
-            try:
-                os.remove("/tmp/libtpu_lockfile")
-            except OSError:
-                pass
-            continue
+            from eld_tpu.tools.aot import remove_stale_libtpu_lock
+
+            if remove_stale_libtpu_lock():
+                continue
         return None
     return None
 

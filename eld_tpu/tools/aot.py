@@ -20,12 +20,37 @@ count (``models/networks.py:103-110``).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 # Topology names accepted by the PJRT TPU compiler model, e.g. "v5e:2x2"
 # (4 chips) or "v5e:2x4" (one v5e-8 slice).  A single-chip program is
 # lowered onto device 0 of the smallest valid slice.
 DEFAULT_TOPOLOGY = "v5e:2x2"
+
+
+def remove_stale_libtpu_lock(path: str = "/tmp/libtpu_lockfile") -> bool:
+    """Remove libtpu's multi-process lockfile IFF no live process holds
+    it.  Staleness is checked by actually acquiring the flock
+    non-blocking — a lock held by a running TPU client (the one-client
+    rig's active bench/training job) stays untouched.  Returns True if
+    the file was removed."""
+    import fcntl
+    import os
+
+    try:
+        fd = os.open(path, os.O_RDWR)
+    except OSError:
+        return False  # already gone
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return False  # held by a live process — leave it alone
+        try:
+            os.remove(path)
+        except OSError:
+            return False
+        return True
+    finally:
+        os.close(fd)
 
 
 def topology_devices(topology: str = DEFAULT_TOPOLOGY):
@@ -34,10 +59,9 @@ def topology_devices(topology: str = DEFAULT_TOPOLOGY):
     Initializing the PJRT TPU plugin (even for a device-less topology
     descriptor) takes libtpu's /tmp/libtpu_lockfile; a device probe
     killed mid-claim can leave that lock stuck and every offline
-    compile then aborts.  Retry with the stale lock removed — the
-    offline path holds no device, so breaking the lock is safe here.
+    compile then aborts.  Retry with the stale lock removed (flock
+    staleness check — a lock held by a live client is never broken).
     """
-    import os
     import time
 
     from jax.experimental import topologies
@@ -52,10 +76,7 @@ def topology_devices(topology: str = DEFAULT_TOPOLOGY):
             last = e
             if "lockfile" not in str(e):
                 raise
-            try:
-                os.remove("/tmp/libtpu_lockfile")
-            except OSError:
-                pass
+            remove_stale_libtpu_lock()
             time.sleep(1.0 + attempt)
     else:
         raise last
@@ -71,15 +92,6 @@ def single_device_sharding(topology: str = DEFAULT_TOPOLOGY):
 
     devs = onp.array(topology_devices(topology)[:1])
     return NamedSharding(Mesh(devs, ("aot",)), P())
-
-
-def mesh_of(topology: str, axis_names: Sequence[str], shape: Sequence[int]):
-    """A ``jax.sharding.Mesh`` over the offline topology's devices."""
-    import numpy as onp
-    from jax.sharding import Mesh
-
-    devs = onp.array(topology_devices(topology)).reshape(tuple(shape))
-    return Mesh(devs, tuple(axis_names))
 
 
 def abstractify(tree, sharding):
@@ -113,21 +125,28 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
 def collective_bytes(hlo: str) -> dict:
     """Count the cross-chip collectives in compiled HLO text and sum their
     payload bytes (output shapes of all-reduce / all-gather /
-    reduce-scatter, async -start forms included, -done echoes skipped).
+    reduce-scatter / collective-permute / all-to-all; async ``-start``
+    forms included, ``-done`` echoes skipped).
+
+    ``-start`` results are tuples carrying the operand alias next to the
+    real result, so for those only the LARGEST component counts (a fused
+    multi-buffer start would be undercounted, never doubled); sync forms
+    sum all components (a fused all-reduce's tuple is all payload).
 
     This is the traffic XLA actually put on ICI for a sharded program —
     the measured form of BASELINE.md's hand-derived 31 MB/step gradient
     all-reduce."""
     import re
 
-    ops = r"all-reduce|all-gather|reduce-scatter|collective-permute"
-    pat = re.compile(rf"= (.*?)\s(?:{ops})(?:-start)?\(")
+    ops = r"all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all"
+    pat = re.compile(rf"= (.*?)\s(?:{ops})(-start)?\(")
     total, count = 0, 0
     for line in hlo.splitlines():
         m = pat.search(line)
         if not m:
             continue
         count += 1
+        sizes = []
         for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
             if dt not in _DTYPE_BYTES:
                 continue
@@ -135,7 +154,9 @@ def collective_bytes(hlo: str) -> dict:
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            total += n * _DTYPE_BYTES[dt]
+            sizes.append(n * _DTYPE_BYTES[dt])
+        if sizes:
+            total += max(sizes) if m.group(2) else sum(sizes)
     return {"collective_ops": count, "collective_bytes": total}
 
 

@@ -223,7 +223,10 @@ def main():
 
     out_path = None
     if "--out" in sys.argv:  # crash-proof: append each record as it lands
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--out needs a file path")
+        out_path = sys.argv[i + 1]
 
     results = []
     combos = [("train", arch, sm, up)

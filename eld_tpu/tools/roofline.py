@@ -130,6 +130,9 @@ def main(argv=None):
     else:
         state, step, data = build_step(ns)
         compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
+        # time the AOT executable itself — calling the jit wrapper again
+        # would compile a second time (separate cache; ~30-60s here)
+        step = compiled
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]

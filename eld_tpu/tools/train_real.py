@@ -71,9 +71,10 @@ def main(argv=None):
     # hang the others in the merge collective)
     from eld_tpu.parallel.multihost import all_hosts_agree
 
-    if not all_hosts_agree(bool(eval_loaders)) and eval_loaders:
-        print("[w] eval disabled: not every pod host can reach the eval "
-              "data", file=sys.stderr)
+    # both ratios or nothing — see train_syn
+    if not all_hosts_agree(set(eval_loaders) == {100, 300}) and eval_loaders:
+        print("[w] eval disabled: not every pod host has both eval "
+              "ratios", file=sys.stderr)
         eval_loaders = {}
 
     from eld_tpu.tools.train_syn import lr_for_epoch

@@ -100,9 +100,12 @@ def main(argv=None, extra=None):
     # data would otherwise hang the others in the merge collective)
     from eld_tpu.parallel.multihost import all_hosts_agree
 
-    if not all_hosts_agree(bool(eval_loaders)) and eval_loaders:
-        print("[w] eval disabled: not every pod host can reach the eval "
-              "data", file=sys.stderr)
+    # gate on BOTH ratios being built — a partial dict would pass a bool
+    # gate, then KeyError at eval_loaders[300] mid-protocol (and on pods,
+    # hang the intact hosts in the merge collective)
+    if not all_hosts_agree(set(eval_loaders) == {100, 300}) and eval_loaders:
+        print("[w] eval disabled: not every pod host has both eval "
+              "ratios", file=sys.stderr)
         eval_loaders = {}
 
     engine = Engine(cfg)

@@ -372,7 +372,12 @@ class Engine:
                        meters, self.epoch)
         if loss_key is not None and self._is_new_best(
                 dataset_name, loss_key, meters[loss_key]):
+            # save FIRST, record the new best only once the checkpoint
+            # exists — persisting best_val.json before a failed/killed
+            # save would permanently block this quality level from ever
+            # being checkpointed on resume
             self.save(label=f"best_{loss_key}_{dataset_name}")
+            self._record_best(dataset_name, loss_key, meters[loss_key])
         return meters
 
     # quality metrics are maximized; anything else (Pixel, losses) is
@@ -381,17 +386,16 @@ class Engine:
     _MAXIMIZE_PREFIXES = ("PSNR", "SSIM", "NCC")
 
     def _is_new_best(self, dataset_name: str, key: str, value: float) -> bool:
-        """Track the best value per (dataset, metric), direction-aware,
-        persisted across --resume (best_val.json)."""
+        """Best value per (dataset, metric), direction-aware, persisted
+        across --resume (best_val.json).  Pure check — the caller records
+        the value with _record_best AFTER the checkpoint save succeeds."""
         maximize = key.startswith(self._MAXIMIZE_PREFIXES)
-        tag = f"{dataset_name}/{key}"
-        best = self.best_val.get(tag)
-        improved = (best is None or
-                    (value > best if maximize else value < best))
-        if improved:
-            self.best_val[tag] = float(value)
-            self._save_best_val()
-        return improved
+        best = self.best_val.get(f"{dataset_name}/{key}")
+        return best is None or (value > best if maximize else value < best)
+
+    def _record_best(self, dataset_name: str, key: str, value: float):
+        self.best_val[f"{dataset_name}/{key}"] = float(value)
+        self._save_best_val()
 
     @property
     def _best_val_path(self):

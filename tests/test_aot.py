@@ -87,6 +87,25 @@ def test_mesh8_train_step_compiles_for_v5e_2x4():
     assert coll["collective_bytes"] >= n_params * 4
 
 
+def test_collective_bytes_parsing():
+    """Pure HLO-text accounting: sync ops sum tuple components (fused
+    all-reduce = all payload), async -start forms count only the largest
+    (the tuple carries the operand alias), all-to-all is seen, -done
+    echoes are skipped."""
+    hlo = "\n".join([
+        "  %ar = f32[1000]{0} all-reduce(f32[1000]{0} %g), replica_groups={}",
+        "  %fused = (f32[100]{0}, f32[300]{0}) all-reduce(%a, %b)",
+        "  %ags = (f32[128]{0}, f32[1024]{0}) all-gather-start(f32[128]{0} %x)",
+        "  %agd = f32[1024]{0} all-gather-done((f32[128], f32[1024]) %ags)",
+        "  %a2a = bf16[512]{0} all-to-all(bf16[512]{0} %y)",
+        "  %noise = f32[64]{0} add(f32[64]{0} %p, f32[64]{0} %q)",
+    ])
+    rec = aot.collective_bytes(hlo)
+    assert rec["collective_ops"] == 4
+    assert rec["collective_bytes"] == (
+        1000 * 4 + (100 + 300) * 4 + 1024 * 4 + 512 * 2)
+
+
 def test_spatial_eval_record_compiles_for_v5e():
     """The spatially-sharded full-frame eval compiles for real v5e chips;
     with a replicated input and the output left sharded it needs ZERO

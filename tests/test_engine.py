@@ -393,6 +393,23 @@ def test_best_checkpoint_direction_and_persistence(tmp_path, clean_store, monkey
     eng.eval([{}], dataset_name="d3", loss_key="Pixel")  # 0.3 better -> yes
     assert saves.count("best_Pixel_d3") == 2
 
+    # a FAILED best-save must not record the value: the next eval at the
+    # same quality has to retry the checkpoint (persisting first would
+    # permanently block that quality level after a crash mid-save)
+    def boom(label=None, **k):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(eng, "save", boom)
+    vals4 = iter([20.0, 20.0])
+    monkeypatch.setattr(eng, "eval_one", lambda item, **k: {"PSNR": next(vals4)})
+    with pytest.raises(RuntimeError, match="disk full"):
+        eng.eval([{}], dataset_name="d4", loss_key="PSNR")
+    assert "d4/PSNR" not in eng.best_val
+    saves4 = []
+    monkeypatch.setattr(eng, "save", lambda label=None, **k: saves4.append(label))
+    eng.eval([{}], dataset_name="d4", loss_key="PSNR")   # same 20.0 retries
+    assert saves4 == ["best_PSNR_d4"] and eng.best_val["d4/PSNR"] == 20.0
+
     # persistence: a resumed engine must not treat the first eval as best
     eng.save = Engine.save.__get__(eng)  # restore the real save
     eng.save(label="latest")
