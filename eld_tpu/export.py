@@ -36,11 +36,50 @@ _BLOB = "model.stablehlo"
 _META = "meta.json"
 
 
-def _forward(model, params, chop: bool):
+def _is_qleaf(node) -> bool:
+    return (isinstance(node, tuple) and len(node) == 2
+            and getattr(node[0], "dtype", None) == jnp.int8)
+
+
+def quantize_params(params):
+    """Weight-only symmetric int8: conv/dense kernels get per-output-
+    channel scales (last axis is out-channels in flax HWIO/HWOI layouts);
+    1-D leaves (biases — a negligible byte fraction) stay f32.
+
+    Returns a pytree whose kernel leaves are ``(int8_values, f32_scale)``
+    tuples; ``dequantize_params`` restores f32.  Serving artifacts baked
+    from the quantized tree carry int8 constants — ~4x smaller .eldx."""
+    def q(x):
+        if x.ndim < 2:
+            return x
+        amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)),
+                       keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+        qx = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return (qx, scale)
+
+    return jax.tree.map(q, params)
+
+
+def dequantize_params(qparams):
+    """Inverse of ``quantize_params`` (up to the int8 rounding)."""
+    return jax.tree.map(
+        lambda n: n[0].astype(jnp.float32) * n[1] if _is_qleaf(n) else n,
+        qparams, is_leaf=_is_qleaf)
+
+
+def _forward(model, params, chop: bool, quantize: Optional[str] = None):
     from eld_tpu.ops.chop import forward_chop
 
+    if quantize == "int8":
+        params = quantize_params(params)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
+
     def fn(x):
-        apply_fn = lambda t: model.apply({"params": params}, t)
+        p = dequantize_params(params) if quantize else params
+        apply_fn = lambda t: model.apply({"params": p}, t)
         out = forward_chop(apply_fn, x) if chop else apply_fn(x)
         return out.astype(jnp.float32)
 
@@ -57,12 +96,16 @@ def export_denoiser(
     chop: bool = False,
     platforms: Tuple[str, ...] = ("tpu", "cpu"),
     symbolic_batch: bool = True,
+    quantize: Optional[str] = None,
 ):
     """Lower the denoiser to a serialized StableHLO blob (bytes).
 
     ``height``/``width`` are static (XLA needs static spatial shapes; use
     the serving frame geometry, e.g. 1424x2128 for SID Sony full frames).
     The batch dimension is symbolic unless ``symbolic_batch=False``.
+    ``quantize='int8'`` bakes weight-only per-channel int8 constants with
+    an in-graph dequantize (~4x smaller artifact; quality delta measured
+    in tests/test_export.py).
     """
     from jax import export as jexport
 
@@ -71,7 +114,7 @@ def export_denoiser(
     else:
         b = 1
     spec = jax.ShapeDtypeStruct((b, height, width, channels), jnp.float32)
-    fn = jax.jit(_forward(model, params, chop))
+    fn = jax.jit(_forward(model, params, chop, quantize))
     exported = jexport.export(fn, platforms=tuple(platforms))(spec)
     return exported.serialize()
 
@@ -87,12 +130,14 @@ def save_denoiser(
     chop: bool = False,
     platforms: Tuple[str, ...] = ("tpu", "cpu"),
     symbolic_batch: bool = True,
+    quantize: Optional[str] = None,
     extra_meta: Optional[dict] = None,
 ) -> dict:
     """Export + write a ``.eldx`` artifact; returns the metadata dict."""
     blob = export_denoiser(
         model, params, height, width, channels,
         chop=chop, platforms=platforms, symbolic_batch=symbolic_batch,
+        quantize=quantize,
     )
     n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
     meta = {
@@ -105,6 +150,7 @@ def save_denoiser(
         "chop": chop,
         "platforms": list(platforms),
         "symbolic_batch": symbolic_batch,
+        "quantize": quantize,
         "param_count": n_params,
         **(extra_meta or {}),
     }

@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--platforms", type=str, default="tpu,cpu")
     p.add_argument("--static_batch", action="store_true",
                    help="export with batch pinned to 1 instead of symbolic")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="weight-only per-channel int8 constants with "
+                        "in-graph dequantize (~4x smaller artifact)")
     p.add_argument("--out", type=str, required=True)
     ns = p.parse_args(argv)
 
@@ -67,6 +70,7 @@ def main(argv=None):
         chop=ns.chop,
         platforms=tuple(s for s in ns.platforms.split(",") if s),
         symbolic_batch=not ns.static_batch,
+        quantize=ns.quantize,
         extra_meta={"arch": ns.arch, "source": ns.model_path,
                     "epoch": epoch, "iterations": iters},
     )

@@ -40,6 +40,41 @@ def test_export_roundtrip_matches_apply(tmp_path, rng):
                                 atol=1e-6, rtol=1e-6)
 
 
+def test_export_int8_quantized(tmp_path, rng):
+    """Weight-only int8 export: ~4x smaller artifact, output close to the
+    f32 export (per-output-channel symmetric scales), dequantize is the
+    exact inverse up to the 127-step rounding."""
+    import os
+
+    from eld_tpu.export import dequantize_params, quantize_params
+
+    model, params = _tiny()
+    f32_path = str(tmp_path / "f32.eldx")
+    q_path = str(tmp_path / "int8.eldx")
+    save_denoiser(f32_path, model, params, 32, 32, platforms=("cpu",))
+    meta = save_denoiser(q_path, model, params, 32, 32, platforms=("cpu",),
+                         quantize="int8")
+    assert meta["quantize"] == "int8"
+    # int8 constants actually shrink the (compressed) artifact
+    assert os.path.getsize(q_path) < 0.45 * os.path.getsize(f32_path)
+
+    # round-trip error bounded by half a quantization step per weight
+    deq = dequantize_params(quantize_params(params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(deq)):
+        if a.ndim < 2:
+            onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+        else:
+            step = onp.abs(onp.asarray(a)).max() / 127.0
+            assert float(jnp.abs(a - b).max()) <= 0.5 * step + 1e-9
+
+    fn, _ = load_denoiser(q_path)
+    fn32, _ = load_denoiser(f32_path)
+    x = jnp.asarray(rng.random((2, 32, 32, 4), dtype=onp.float32))
+    got, want = onp.asarray(fn(x)), onp.asarray(fn32(x))
+    err = onp.abs(got - want).max()
+    assert err < 0.02, f"int8 output drifted {err} from f32"
+
+
 def test_export_symbolic_batch(tmp_path, rng):
     model, params = _tiny()
     path = str(tmp_path / "net.eldx")
