@@ -1,0 +1,180 @@
+"""Denoise raw files end to end — the serving CLI (no ground truth).
+
+The eval tools (``test_sid``/``test_eld``) score against ground-truth
+pairs; this is the deployment path: point it at raw files (any format
+``data/rawio`` decodes: ARW/CR2/NEF/DNG/rawpack), give the amplification
+ratio, and get denoised sRGB PNGs (and optionally the denoised packed
+raw as ``.npz``).  The network comes from an orbax checkpoint, a
+reference torch ``.pt`` state dict, or a baked ``.eldx`` serving
+artifact (``eld_tpu.export``) — the artifact path needs no model flags
+at all.  The reference has no inference-only entry point (its closest
+is re-running ``test_SID.py`` with GT present).
+
+Protocol notes:
+  * input is black/white-normalized, packed, x ratio, clipped — exactly
+    the eval-path preprocessing (``SIDDataset``, reference
+    ``dataset/sid_dataset.py:403-410``);
+  * ``--correct`` (default on) applies illuminance correction against
+    the amplified INPUT (at inference there is no GT to correct
+    against; disable with --no-correct for raw network output);
+  * frames are edge-padded to the network's /16 alignment and cropped
+    back, so any sensor geometry works.
+
+Usage:
+  python -m eld_tpu.tools.denoise --input ./short/ --ratio 100 \\
+      --model_path model_best.pt --out ./denoised
+  python -m eld_tpu.tools.denoise --input IMG_0004.ARW --ratio 200 \\
+      --artifact sid_denoiser.eldx --out ./denoised --save_raw
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+RAW_EXTS = (".arw", ".cr2", ".nef", ".dng", ".tif", ".tiff", ".npz",
+            ".rawpack")
+
+
+def _list_inputs(path: str):
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.lower().endswith(RAW_EXTS))
+        if not files:
+            raise FileNotFoundError(f"{path}: no raw files ({RAW_EXTS})")
+        return files
+    return [path]
+
+
+def _aligned_forward(fwd, x, base: int = 16):
+    """Edge-pad H/W up to the network alignment, forward, crop back."""
+    import jax.numpy as jnp
+
+    _, h, w, _ = x.shape
+    hp, wp = -(-h // base) * base, -(-w // base) * base
+    if (hp, wp) != (h, w):
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                    mode="edge")
+    return fwd(x)[:, :h, :w]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="raw file or directory of raw files")
+    p.add_argument("--ratio", type=float, required=True,
+                   help="amplification ratio (target_expo/input_expo, "
+                        "e.g. 100 or 300)")
+    p.add_argument("--out", required=True, help="output directory")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model_path",
+                     help="orbax .ckpt dir or reference torch .pt")
+    src.add_argument("--artifact", help=".eldx serving artifact")
+    p.add_argument("--arch", default="unet")
+    p.add_argument("--channels", type=int, default=4)
+    p.add_argument("--base_width", type=int, default=32)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--chop", action="store_true",
+                   help="4-tile chopped forward (checkpoint path only; "
+                        "artifacts bake their own chop choice)")
+    p.add_argument("--no-correct", dest="correct", action="store_false",
+                   help="skip illuminance correction against the input")
+    p.add_argument("--crf", action="store_true",
+                   help="render with the calibrated CRF instead of gamma")
+    p.add_argument("--save_raw", action="store_true",
+                   help="also write the denoised packed raw as .npz")
+    ns = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.core import isp
+    from eld_tpu.data import rawio
+    from eld_tpu.ops.correct import illuminance_correct
+    from eld_tpu.utils.images import save_png
+
+    os.makedirs(ns.out, exist_ok=True)
+
+    if ns.artifact:
+        from eld_tpu.export import load_denoiser
+
+        art_fn, meta = load_denoiser(ns.artifact)
+        if ns.chop:
+            p.error("--chop is baked at export time for artifacts "
+                    f"(this one has chop={meta.get('chop')})")
+
+        def fwd(x):
+            ah, aw = meta["height"], meta["width"]
+            if (x.shape[1], x.shape[2]) != (ah, aw):
+                raise SystemExit(
+                    f"artifact was exported for {ah}x{aw} frames, got "
+                    f"{x.shape[1]}x{x.shape[2]} — re-export with "
+                    f"--height/--width (StableHLO spatial dims are "
+                    "static)")
+            return art_fn(x)
+    else:
+        from eld_tpu.models import build_arch
+        from eld_tpu.train.steps import make_eval_forward
+
+        dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
+        model = build_arch(ns.arch, ns.channels, ns.channels, dtype=dtype,
+                           base_width=ns.base_width)
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, ns.channels), jnp.float32))["params"]
+        if ns.model_path.endswith(".pt"):
+            from eld_tpu.compat.torch_import import load_torch_checkpoint
+
+            params, _, _ = load_torch_checkpoint(ns.model_path, template)
+        else:
+            from eld_tpu.train.checkpoints import restore_params
+
+            params, _, _ = restore_params(ns.model_path, template)
+        net = make_eval_forward(model, chop=ns.chop)
+        fwd = lambda x: net(params, x)
+
+    crf = None
+    if ns.crf:
+        from eld_tpu.core.emor import load_crf
+
+        crf = load_crf()
+
+    results = []
+    for path in _list_inputs(ns.input):
+        raw = rawio.imread(path)
+        x = onp.clip(raw.packed() * ns.ratio, 0.0, 1.0)[None]
+        pred = _aligned_forward(fwd, jnp.asarray(x))[0]
+        if ns.correct:
+            corrected = illuminance_correct(pred, jnp.asarray(x[0]))
+            if bool(jnp.isfinite(corrected).all()):
+                pred = corrected
+            else:
+                # every input pixel saturated -> empty correction mask
+                # (0/0); serve the uncorrected output instead of NaNs
+                print(f"[w] {path}: input fully saturated at ratio "
+                      f"{ns.ratio}; skipping illuminance correction",
+                      file=sys.stderr)
+        pred = onp.clip(onp.asarray(pred, onp.float32), 0.0, 1.0)
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        rgb = onp.asarray(isp.raw2rgb(pred, raw.wb, raw.ccm, crf=crf))
+        png = os.path.join(ns.out, f"{stem}_denoised.png")
+        save_png(png, rgb * 255.0)
+        rec = {"input": path, "output": png, "ratio": ns.ratio}
+        if ns.save_raw:
+            npz = os.path.join(ns.out, f"{stem}_denoised.npz")
+            onp.savez_compressed(npz, packed=pred, wb=raw.wb, ccm=raw.ccm)
+            rec["raw_output"] = npz
+        print(json.dumps(rec), file=sys.stderr)
+        results.append(rec)
+    print(json.dumps({"count": len(results), "out": ns.out}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Inference-only serving CLI (tools/denoise.py): raw file in, denoised
+sRGB PNG (and packed .npz) out — no ground truth, any frame geometry
+(edge-pad to the network alignment and crop back), network from an orbax
+checkpoint or a baked .eldx artifact."""
+
+import json
+import os
+
+import numpy as onp
+
+import jax
+import jax.numpy as jnp
+
+from eld_tpu.models import build_arch
+from eld_tpu.tools.denoise import main
+from eld_tpu.utils.images import load_png
+from tests.tiff_fixture import make_dng
+
+
+def _write_dng(path, h=72, w=80, seed=0):
+    """A DARK frame: packed values ~[0, 0.0025] so x100-x300 stays
+    unsaturated (the CLI's domain — amplifying short exposures)."""
+    rng = onp.random.default_rng(seed)
+    mosaic = (512 + rng.random((h, w)) * 40).astype(onp.uint16)
+    path.write_bytes(make_dng(mosaic, iso=1600, exposure=0.04))
+    return str(path)
+
+
+def test_denoise_cli_from_checkpoint(tmp_path):
+    """Unaligned geometry (packed 36x40, not /16) through a checkpoint:
+    PNG + raw outputs exist, shapes/ranges are right."""
+    from eld_tpu.train import create_train_state
+    from eld_tpu.train.checkpoints import save_checkpoint
+
+    raw_path = _write_dng(tmp_path / "IMG_0004.dng")
+    model = build_arch("unet", 4, 4, base_width=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    ckpt = save_checkpoint(str(tmp_path / "ckpts"), state, label="latest")
+
+    out = str(tmp_path / "denoised")
+    res = main(["--input", raw_path, "--ratio", "100",
+                "--model_path", ckpt, "--base_width", "8",
+                "--out", out, "--save_raw"])
+    assert len(res) == 1 and res[0]["ratio"] == 100.0
+    rgb = load_png(res[0]["output"])
+    assert rgb.shape == (36, 40, 3)  # half-size sRGB render (binning)
+    z = onp.load(res[0]["raw_output"])
+    assert z["packed"].shape == (36, 40, 4)
+    assert 0.0 <= z["packed"].min() and z["packed"].max() <= 1.0
+    assert onp.isfinite(z["packed"]).all()
+    assert z["wb"].shape == (4,) and z["ccm"].shape == (3, 3)
+
+
+def test_denoise_cli_from_artifact_and_dir(tmp_path):
+    """Directory of raws through a .eldx artifact; a geometry mismatch
+    dies with the re-export hint instead of a StableHLO shape error."""
+    import pytest
+
+    from eld_tpu.export import save_denoiser
+
+    d = tmp_path / "raws"
+    d.mkdir()
+    _write_dng(d / "a.dng", h=64, w=64, seed=1)
+    _write_dng(d / "b.dng", h=64, w=64, seed=2)
+
+    model = build_arch("unet", 4, 4, base_width=8)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 32, 32, 4)))["params"]
+    art = str(tmp_path / "net.eldx")
+    save_denoiser(art, model, params, 32, 32, platforms=("cpu",))
+
+    out = str(tmp_path / "denoised")
+    res = main(["--input", str(d), "--ratio", "300",
+                "--artifact", art, "--out", out])
+    assert len(res) == 2
+    for rec in res:
+        assert os.path.exists(rec["output"])
+    # the two scenes differ -> outputs differ (params really ran per file)
+    a = load_png(res[0]["output"]).astype(onp.float32)
+    b = load_png(res[1]["output"]).astype(onp.float32)
+    assert onp.abs(a - b).max() > 1.0
+
+    _write_dng(tmp_path / "big.dng", h=128, w=160, seed=3)
+    with pytest.raises(SystemExit, match="re-export"):
+        main(["--input", str(tmp_path / "big.dng"), "--ratio", "100",
+              "--artifact", art, "--out", out])
+
+    # a fully-saturated input (bright frame x huge ratio) must fall back
+    # to the uncorrected output, not serve NaN-black images
+    bright = tmp_path / "bright.dng"
+    rng = onp.random.default_rng(9)
+    bright.write_bytes(make_dng(
+        (rng.random((64, 64)) * 4000 + 8000).astype(onp.uint16)))
+    res = main(["--input", str(bright), "--ratio", "300",
+                "--artifact", art, "--out", out])
+    z = load_png(res[0]["output"])
+    assert onp.isfinite(z).all()
