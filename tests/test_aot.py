@@ -87,6 +87,41 @@ def test_mesh8_train_step_compiles_for_v5e_2x4():
     assert coll["collective_bytes"] >= n_params * 4
 
 
+def test_remove_stale_libtpu_lock(tmp_path):
+    """The lock breaker removes an UNHELD lockfile but never one a live
+    process holds (flock staleness check) — breaking a live client's
+    lock would let two claimants race the chip."""
+    import fcntl
+    import os
+    import subprocess
+    import sys
+
+    stale = str(tmp_path / "stale_lock")
+    open(stale, "w").close()
+    assert aot.remove_stale_libtpu_lock(stale) is True
+    assert not os.path.exists(stale)
+
+    held = str(tmp_path / "held_lock")
+    open(held, "w").close()
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import fcntl, sys, time\n"
+         f"fd = open({held!r}, 'r+')\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(60)\n"],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert holder.stdout.readline().strip() == "locked"
+        assert aot.remove_stale_libtpu_lock(held) is False
+        assert os.path.exists(held)
+    finally:
+        holder.kill()
+        holder.wait()
+
+    assert aot.remove_stale_libtpu_lock(str(tmp_path / "gone")) is False
+
+
 def test_collective_bytes_parsing():
     """Pure HLO-text accounting: sync ops sum tuple components (fused
     all-reduce = all payload), async -start forms count only the largest
