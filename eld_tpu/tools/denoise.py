@@ -78,6 +78,13 @@ def main(argv=None):
     p.add_argument("--channels", type=int, default=4)
     p.add_argument("--base_width", type=int, default=32)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--skip_mode", choices=["concat", "split"],
+                   default="concat",
+                   help="decoder skip handling; 'split' is an exact "
+                        "re-parameterization that cuts full-frame HBM "
+                        "traffic 11.4%% on the XLA:TPU cost model "
+                        "(BASELINE.md round-3 sweep)")
+    p.add_argument("--upsample", choices=["convt", "d2s"], default="convt")
     p.add_argument("--chop", action="store_true",
                    help="4-tile chopped forward (checkpoint path only; "
                         "artifacts bake their own chop choice)")
@@ -123,7 +130,8 @@ def main(argv=None):
 
         dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
         model = build_arch(ns.arch, ns.channels, ns.channels, dtype=dtype,
-                           base_width=ns.base_width)
+                           base_width=ns.base_width,
+                           skip_mode=ns.skip_mode, upsample=ns.upsample)
         template = model.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 64, 64, ns.channels), jnp.float32))["params"]

@@ -33,6 +33,12 @@ def main(argv=None):
                    help="bake the reference 4-tile chopped forward in")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute inside the artifact (params stay f32)")
+    p.add_argument("--skip_mode", choices=["concat", "split"],
+                   default="concat",
+                   help="'split' (exact re-parameterization, same "
+                        "checkpoint) cuts full-frame HBM traffic 11.4%% "
+                        "on the XLA:TPU cost model — see BASELINE.md")
+    p.add_argument("--upsample", choices=["convt", "d2s"], default="convt")
     p.add_argument("--platforms", type=str, default="tpu,cpu")
     p.add_argument("--static_batch", action="store_true",
                    help="export with batch pinned to 1 instead of symbolic")
@@ -51,7 +57,8 @@ def main(argv=None):
     out_ch = ns.out_channels if ns.out_channels is not None else ns.channels
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
     model = build_arch(ns.arch, ns.channels, out_ch, dtype=dtype,
-                       base_width=ns.base_width)
+                       base_width=ns.base_width,
+                       skip_mode=ns.skip_mode, upsample=ns.upsample)
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, ns.channels), jnp.float32)
     )["params"]
