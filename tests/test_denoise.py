@@ -51,6 +51,41 @@ def test_denoise_cli_from_checkpoint(tmp_path):
     assert z["wb"].shape == (4,) and z["ccm"].shape == (3, 3)
 
 
+def test_denoise_cli_all_vendor_formats(tmp_path):
+    """The serving CLI end-to-end over every natively-decoded vendor
+    format (ARW 2.3 / CR2 lossless-JPEG / NEF lossless), mixed frame
+    geometries in one directory — each pads to its own alignment."""
+    from eld_tpu.train import create_train_state
+    from eld_tpu.train.checkpoints import save_checkpoint
+    from tests.arw_fixture import make_arw
+    from tests.cr2_fixture import make_cr2
+    from tests.nef_fixture import make_nef
+
+    rng = onp.random.default_rng(5)
+    d = tmp_path / "raws"
+    d.mkdir()
+    (d / "a.ARW").write_bytes(make_arw(rng, width=64, height=8)[0])
+    (d / "c.CR2").write_bytes(make_cr2(rng, visible=(8, 32), borders=(4, 2),
+                                       slices=(2, 16), ncomp=2)[0])
+    (d / "n.nef").write_bytes(make_nef(rng, size=(8, 32))[0])
+
+    model = build_arch("unet", 4, 4, base_width=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    ckpt = save_checkpoint(str(tmp_path / "ckpts"), state, label="latest")
+
+    out = str(tmp_path / "denoised")
+    res = main(["--input", str(d), "--ratio", "100",
+                "--model_path", ckpt, "--base_width", "8",
+                "--out", out, "--save_raw"])
+    assert len(res) == 3
+    for rec in res:
+        rgb = load_png(rec["output"])
+        assert rgb.ndim == 3 and onp.isfinite(rgb).all()
+        z = onp.load(rec["raw_output"])
+        assert onp.isfinite(z["packed"]).all()
+        assert 0.0 <= z["packed"].min() and z["packed"].max() <= 1.0
+
+
 def test_denoise_cli_from_artifact_and_dir(tmp_path):
     """Directory of raws through a .eldx artifact; a geometry mismatch
     dies with the re-export hint instead of a StableHLO shape error."""
