@@ -25,6 +25,11 @@ Usage:
       --model_path model_best.pt --out ./denoised
   python -m eld_tpu.tools.denoise --input IMG_0004.ARW --ratio 200 \\
       --artifact sid_denoiser.eldx --out ./denoised --save_raw
+
+Amplification comes from ``--ratio`` (fixed) or ``--target_exposure``
+[+ ``--target_iso``] (per-file, derived from the input's own EXIF with
+the ELD protocol's iso*expo arithmetic).  ``--batch N`` forwards
+same-geometry frames together for throughput.
 """
 
 from __future__ import annotations
@@ -66,9 +71,21 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True,
                    help="raw file or directory of raw files")
-    p.add_argument("--ratio", type=float, required=True,
-                   help="amplification ratio (target_expo/input_expo, "
-                        "e.g. 100 or 300)")
+    amp = p.add_mutually_exclusive_group(required=True)
+    amp.add_argument("--ratio", type=float,
+                     help="fixed amplification ratio "
+                          "(target_expo/input_expo, e.g. 100 or 300)")
+    amp.add_argument("--target_exposure", type=float,
+                     help="derive each file's ratio from its own EXIF: "
+                          "ratio = (target_iso * target_exposure) / "
+                          "(iso * exposure) — the ELD protocol's "
+                          "iso*expo arithmetic without a GT file")
+    p.add_argument("--target_iso", type=float, default=100.0,
+                   help="ISO paired with --target_exposure (default 100)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="forward same-geometry frames together in "
+                        "batches of this size (throughput; one XLA "
+                        "program per distinct geometry)")
     p.add_argument("--out", required=True, help="output directory")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--model_path",
@@ -152,34 +169,60 @@ def main(argv=None):
 
         crf = load_crf()
 
+    def ratio_for(path, raw) -> float:
+        if ns.ratio is not None:
+            return float(ns.ratio)
+        denom = raw.iso * raw.exposure
+        if denom <= 0:
+            raise SystemExit(
+                f"{path}: EXIF iso*exposure is {denom}; cannot derive the "
+                "ratio for --target_exposure (use --ratio instead)")
+        return (ns.target_iso * ns.target_exposure) / denom
+
     results = []
+
+    def serve(group):
+        """Forward a same-geometry group in one call, then finish each
+        frame (correction, ISP render, writes) individually."""
+        xb = jnp.asarray(onp.stack([g["x"] for g in group]))
+        preds = _aligned_forward(fwd, xb)
+        for g, pred in zip(group, preds):
+            if ns.correct:
+                corrected = illuminance_correct(pred, jnp.asarray(g["x"]))
+                if bool(jnp.isfinite(corrected).all()):
+                    pred = corrected
+                else:
+                    # every input pixel saturated -> empty correction
+                    # mask (0/0); serve the uncorrected output, not NaNs
+                    print(f"[w] {g['path']}: input fully saturated at "
+                          f"ratio {g['ratio']:g}; skipping illuminance "
+                          "correction", file=sys.stderr)
+            pred = onp.clip(onp.asarray(pred, onp.float32), 0.0, 1.0)
+            raw = g["raw"]
+            stem = os.path.splitext(os.path.basename(g["path"]))[0]
+            rgb = onp.asarray(isp.raw2rgb(pred, raw.wb, raw.ccm, crf=crf))
+            png = os.path.join(ns.out, f"{stem}_denoised.png")
+            save_png(png, rgb * 255.0)
+            rec = {"input": g["path"], "output": png, "ratio": g["ratio"]}
+            if ns.save_raw:
+                npz = os.path.join(ns.out, f"{stem}_denoised.npz")
+                onp.savez_compressed(npz, packed=pred, wb=raw.wb,
+                                     ccm=raw.ccm)
+                rec["raw_output"] = npz
+            print(json.dumps(rec), file=sys.stderr)
+            results.append(rec)
+
+    pending = {}  # packed shape -> same-geometry frames awaiting a batch
     for path in _list_inputs(ns.input):
         raw = rawio.imread(path)
-        x = onp.clip(raw.packed() * ns.ratio, 0.0, 1.0)[None]
-        pred = _aligned_forward(fwd, jnp.asarray(x))[0]
-        if ns.correct:
-            corrected = illuminance_correct(pred, jnp.asarray(x[0]))
-            if bool(jnp.isfinite(corrected).all()):
-                pred = corrected
-            else:
-                # every input pixel saturated -> empty correction mask
-                # (0/0); serve the uncorrected output instead of NaNs
-                print(f"[w] {path}: input fully saturated at ratio "
-                      f"{ns.ratio}; skipping illuminance correction",
-                      file=sys.stderr)
-        pred = onp.clip(onp.asarray(pred, onp.float32), 0.0, 1.0)
-
-        stem = os.path.splitext(os.path.basename(path))[0]
-        rgb = onp.asarray(isp.raw2rgb(pred, raw.wb, raw.ccm, crf=crf))
-        png = os.path.join(ns.out, f"{stem}_denoised.png")
-        save_png(png, rgb * 255.0)
-        rec = {"input": path, "output": png, "ratio": ns.ratio}
-        if ns.save_raw:
-            npz = os.path.join(ns.out, f"{stem}_denoised.npz")
-            onp.savez_compressed(npz, packed=pred, wb=raw.wb, ccm=raw.ccm)
-            rec["raw_output"] = npz
-        print(json.dumps(rec), file=sys.stderr)
-        results.append(rec)
+        ratio = ratio_for(path, raw)
+        x = onp.clip(raw.packed() * ratio, 0.0, 1.0)
+        group = pending.setdefault(x.shape, [])
+        group.append({"path": path, "raw": raw, "x": x, "ratio": ratio})
+        if len(group) >= ns.batch:
+            serve(pending.pop(x.shape))
+    for shape in list(pending):
+        serve(pending.pop(shape))
     print(json.dumps({"count": len(results), "out": ns.out}))
     return results
 

@@ -115,6 +115,23 @@ def test_denoise_cli_from_artifact_and_dir(tmp_path):
     b = load_png(res[1]["output"]).astype(onp.float32)
     assert onp.abs(a - b).max() > 1.0
 
+    # --batch 2: one forward for both frames, same rendered outputs
+    out2 = str(tmp_path / "denoised_b2")
+    res2 = main(["--input", str(d), "--ratio", "300", "--batch", "2",
+                 "--artifact", art, "--out", out2])
+    assert len(res2) == 2
+    for r1, r2 in zip(sorted(res, key=lambda r: r["input"]),
+                      sorted(res2, key=lambda r: r["input"])):
+        d1 = load_png(r1["output"]).astype(onp.int16)
+        d2 = load_png(r2["output"]).astype(onp.int16)
+        assert onp.abs(d1 - d2).max() <= 1  # batched == single (quantized)
+
+    # --target_exposure: per-file EXIF ratio (iso 1600 x 0.04 s inputs,
+    # target 100 ISO x 10 s -> 1000/64)
+    res3 = main(["--input", str(d / "a.dng"), "--target_exposure", "10",
+                 "--artifact", art, "--out", out2])
+    assert abs(res3[0]["ratio"] - (100.0 * 10.0) / (1600 * 0.04)) < 1e-9
+
     _write_dng(tmp_path / "big.dng", h=128, w=160, seed=3)
     with pytest.raises(SystemExit, match="re-export"):
         main(["--input", str(tmp_path / "big.dng"), "--ratio", "100",
