@@ -299,7 +299,7 @@ def imread(path: str) -> RawFile:
     """Open a raw file; resolves backend by extension/availability."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    if path.endswith((".npz", ".rawpack")):
+    if path.lower().endswith((".npz", ".rawpack")):
         return _open_rawpack(path)
     if _LIB is None:
         raise UnsupportedRawError(

@@ -264,6 +264,14 @@ def main():
     print(json.dumps({"platform": platform, "results": results}))
 
 
+def cli() -> int:
+    """Console-script entry: discard main()'s return value (it is data
+    for tests/importers, not an exit status — sys.exit(non-empty dict/
+    list) would turn every success into exit code 1)."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     if "--one" in sys.argv:
         _child(sys.argv[sys.argv.index("--one") + 1:])

@@ -225,5 +225,13 @@ def main(argv=None):
     return result
 
 
+def cli() -> int:
+    """Console-script entry: discard main()'s return value (it is data
+    for tests/importers, not an exit status — sys.exit(non-empty dict/
+    list) would turn every success into exit code 1)."""
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()

@@ -55,12 +55,22 @@ def _list_inputs(path: str):
     return [path]
 
 
-def _aligned_forward(fwd, x, base: int = 16):
-    """Edge-pad H/W up to the network alignment, forward, crop back."""
+def _aligned_forward(fwd, x, base: int = 16, target=None):
+    """Edge-pad H/W up to the network alignment (or to an explicit
+    ``target`` geometry, e.g. an artifact's static dims), forward, crop
+    back."""
     import jax.numpy as jnp
 
     _, h, w, _ = x.shape
-    hp, wp = -(-h // base) * base, -(-w // base) * base
+    if target is not None:
+        hp, wp = target
+        if h > hp or w > wp:
+            raise SystemExit(
+                f"frame is {h}x{w} packed but the artifact was exported "
+                f"for {hp}x{wp} — re-export with --height/--width "
+                "(StableHLO spatial dims are static)")
+    else:
+        hp, wp = -(-h // base) * base, -(-w // base) * base
     if (hp, wp) != (h, w):
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                     mode="edge")
@@ -124,23 +134,25 @@ def main(argv=None):
 
     os.makedirs(ns.out, exist_ok=True)
 
+    pad_target = None
+    base = 16
     if ns.artifact:
         from eld_tpu.export import load_denoiser
 
-        art_fn, meta = load_denoiser(ns.artifact)
-        if ns.chop:
-            p.error("--chop is baked at export time for artifacts "
-                    f"(this one has chop={meta.get('chop')})")
-
-        def fwd(x):
-            ah, aw = meta["height"], meta["width"]
-            if (x.shape[1], x.shape[2]) != (ah, aw):
-                raise SystemExit(
-                    f"artifact was exported for {ah}x{aw} frames, got "
-                    f"{x.shape[1]}x{x.shape[2]} — re-export with "
-                    f"--height/--width (StableHLO spatial dims are "
-                    "static)")
-            return art_fn(x)
+        baked = {"--chop": ns.chop, "--arch": ns.arch != "unet",
+                 "--base_width": ns.base_width != 32, "--bf16": ns.bf16,
+                 "--skip_mode": ns.skip_mode != "concat",
+                 "--upsample": ns.upsample != "convt"}
+        wrong = [k for k, v in baked.items() if v]
+        if wrong:
+            p.error(f"{' '.join(wrong)}: model shape/arch flags are baked "
+                    "at export time for artifacts — re-export instead")
+        fwd, meta = load_denoiser(ns.artifact)
+        pad_target = (meta["height"], meta["width"])
+        if ns.batch > 1 and not meta.get("symbolic_batch", True):
+            p.error("--batch > 1 needs a symbolic-batch artifact; this "
+                    "one was exported with --static_batch (batch pinned "
+                    "to 1)")
     else:
         from eld_tpu.models import build_arch
         from eld_tpu.train.steps import make_eval_forward
@@ -162,6 +174,7 @@ def main(argv=None):
             params, _, _ = restore_params(ns.model_path, template)
         net = make_eval_forward(model, chop=ns.chop)
         fwd = lambda x: net(params, x)
+        base = model.alignment() if hasattr(model, "alignment") else 16
 
     crf = None
     if ns.crf:
@@ -180,15 +193,30 @@ def main(argv=None):
         return (ns.target_iso * ns.target_exposure) / denom
 
     results = []
+    used_names = set()
+
+    def out_path(path, suffix):
+        """Collision-safe output name (IMG_0001.ARW next to IMG_0001.dng
+        must not clobber each other)."""
+        stem = os.path.splitext(os.path.basename(path))[0]
+        name, n = f"{stem}_denoised{suffix}", 2
+        while name in used_names:
+            name = f"{stem}_denoised_{n}{suffix}"
+            n += 1
+        used_names.add(name)
+        return os.path.join(ns.out, name)
 
     def serve(group):
         """Forward a same-geometry group in one call, then finish each
         frame (correction, ISP render, writes) individually."""
         xb = jnp.asarray(onp.stack([g["x"] for g in group]))
-        preds = _aligned_forward(fwd, xb)
-        for g, pred in zip(group, preds):
+        preds = _aligned_forward(fwd, xb, base=base, target=pad_target)
+        for i, (g, pred) in enumerate(zip(group, preds)):
             if ns.correct:
-                corrected = illuminance_correct(pred, jnp.asarray(g["x"]))
+                # correct against the already-device-resident input row
+                # (a second host->device upload of a full frame costs
+                # seconds on a transfer-bound link)
+                corrected = illuminance_correct(pred, xb[i])
                 if bool(jnp.isfinite(corrected).all()):
                     pred = corrected
                 else:
@@ -199,13 +227,12 @@ def main(argv=None):
                           "correction", file=sys.stderr)
             pred = onp.clip(onp.asarray(pred, onp.float32), 0.0, 1.0)
             raw = g["raw"]
-            stem = os.path.splitext(os.path.basename(g["path"]))[0]
             rgb = onp.asarray(isp.raw2rgb(pred, raw.wb, raw.ccm, crf=crf))
-            png = os.path.join(ns.out, f"{stem}_denoised.png")
+            png = out_path(g["path"], ".png")
             save_png(png, rgb * 255.0)
             rec = {"input": g["path"], "output": png, "ratio": g["ratio"]}
             if ns.save_raw:
-                npz = os.path.join(ns.out, f"{stem}_denoised.npz")
+                npz = out_path(g["path"], ".npz")
                 onp.savez_compressed(npz, packed=pred, wb=raw.wb,
                                      ccm=raw.ccm)
                 rec["raw_output"] = npz
@@ -225,6 +252,14 @@ def main(argv=None):
         serve(pending.pop(shape))
     print(json.dumps({"count": len(results), "out": ns.out}))
     return results
+
+
+def cli() -> int:
+    """Console-script entry: discard main()'s return value (it is data
+    for tests/importers, not an exit status — sys.exit(non-empty dict/
+    list) would turn every success into exit code 1)."""
+    main()
+    return 0
 
 
 if __name__ == "__main__":

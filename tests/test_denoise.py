@@ -51,6 +51,42 @@ def test_denoise_cli_from_checkpoint(tmp_path):
     assert z["wb"].shape == (4,) and z["ccm"].shape == (3, 3)
 
 
+def test_denoise_cli_s2d_alignment(tmp_path):
+    """--arch unet_s2d has alignment 32, not 16: a 36x40 packed frame
+    must pad to the arch's own alignment (a hardcoded 16 crashes in the
+    decoder concat)."""
+    from eld_tpu.train import create_train_state
+    from eld_tpu.train.checkpoints import save_checkpoint
+
+    raw_path = _write_dng(tmp_path / "IMG_0004.dng")  # packed 36x40
+    model = build_arch("unet_s2d", 4, 4, base_width=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    ckpt = save_checkpoint(str(tmp_path / "ckpts"), state, label="latest")
+
+    res = main(["--input", raw_path, "--ratio", "100",
+                "--model_path", ckpt, "--arch", "unet_s2d",
+                "--base_width", "8", "--out", str(tmp_path / "o")])
+    assert load_png(res[0]["output"]).shape == (36, 40, 3)
+
+
+def test_every_tool_has_a_cli_wrapper():
+    """Console scripts run sys.exit(entry()); main() returns data (lists/
+    dicts), which would turn every success into exit status 1 — so each
+    tool exposes cli() returning 0, and pyproject points at it."""
+    import importlib
+
+    for tool in ("train_syn", "train_real", "test_sid", "test_eld",
+                 "build_dataset", "convert_raw", "export_model", "denoise",
+                 "vis_data", "demo_synthetic", "validate_pallas",
+                 "bench_variants", "roofline"):
+        mod = importlib.import_module(f"eld_tpu.tools.{tool}")
+        assert callable(getattr(mod, "cli")), tool
+    pyproject = os.path.join(os.path.dirname(__file__), "..",
+                             "pyproject.toml")
+    scripts = open(pyproject).read().split("[project.scripts]")[1]
+    assert ":main\"" not in scripts.split("\n[")[0]
+
+
 def test_denoise_cli_all_vendor_formats(tmp_path):
     """The serving CLI end-to-end over every natively-decoded vendor
     format (ARW 2.3 / CR2 lossless-JPEG / NEF lossless), mixed frame
@@ -136,6 +172,18 @@ def test_denoise_cli_from_artifact_and_dir(tmp_path):
     with pytest.raises(SystemExit, match="re-export"):
         main(["--input", str(tmp_path / "big.dng"), "--ratio", "100",
               "--artifact", art, "--out", out])
+
+    # a frame SMALLER than the artifact geometry serves by edge-padding
+    # to the artifact's static dims and cropping back
+    _write_dng(tmp_path / "small.dng", h=48, w=64, seed=7)  # packed 24x32
+    res4 = main(["--input", str(tmp_path / "small.dng"), "--ratio", "100",
+                 "--artifact", art, "--out", out])
+    assert load_png(res4[0]["output"]).shape == (24, 32, 3)
+
+    # model/arch flags are baked into artifacts -> explicit error
+    with pytest.raises(SystemExit):
+        main(["--input", str(d), "--ratio", "100", "--artifact", art,
+              "--skip_mode", "split", "--out", out])
 
     # a fully-saturated input (bright frame x huge ratio) must fall back
     # to the uncorrected output, not serve NaN-black images
