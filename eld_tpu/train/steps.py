@@ -157,10 +157,15 @@ def make_eval_forward(model, mesh=None, chop: bool = False):
     """Jitted inference: (params, x) -> pred; optional 4-tile chop."""
     from eld_tpu.ops.chop import forward_chop
 
+    # tile geometry must honor the arch's own spatial alignment
+    # (unet_s2d needs 32; the chop default of 16 would hand its decoder
+    # unconcatenatable halves)
+    base = model.alignment() if hasattr(model, "alignment") else 16
+
     def fwd(params, x):
         apply_fn = lambda t: model.apply({"params": params}, t)
         if chop:
-            return forward_chop(apply_fn, x)
+            return forward_chop(apply_fn, x, base=base)
         return apply_fn(x)
 
     if mesh is None:
