@@ -20,7 +20,7 @@ Design stance (differs from the CUDA/PyTorch reference on purpose):
     ctypes bindings.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from eld_tpu import core, noise, models, ops, parallel  # noqa: F401
 
@@ -35,7 +35,12 @@ def __getattr__(name):
         from eld_tpu.config import Config
 
         return Config
-    if name in ("save_denoiser", "load_denoiser"):
+    if name == "build_arch":
+        from eld_tpu.models import build_arch
+
+        return build_arch
+    if name in ("save_denoiser", "load_denoiser", "quantize_params",
+                "dequantize_params"):
         from eld_tpu import export
 
         return getattr(export, name)
