@@ -13,9 +13,10 @@ Noise model components (selected by a model string, reference chars kept):
   'c' per-ISO per-channel color bias
 
 Model aliases: "g"/"G" baselines, "Pg" (= paper "G+P"), "pg" (= "G+P*"),
-and "eld" = 'P'+'G'+'r'+'q' — the full ELD TPAMI model, implemented here
-from the shipped calibration files even though the reference withholds the
-code (``README.md:41``; params: ``camera_params/release/*_params.npy``).
+and "eld" = 'PGrqc' (shot + Tukey-lambda read + row + quantization +
+color bias) — the full ELD TPAMI model, implemented here from the
+shipped calibration files even though the reference withholds the code
+(``README.md:41``; params: ``camera_params/release/*_params.npy``).
 """
 
 from eld_tpu.noise.params import (  # noqa: F401

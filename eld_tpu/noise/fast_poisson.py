@@ -11,7 +11,10 @@ and statistically indistinguishable for this workload:
     accumulation steps (vectorized Knuth; truncation error < 1e-9 at the
     switch point);
   * lam  > SMALL_MAX: normal approximation round(lam + sqrt(lam)*N)
-    clamped at >= 0 (error O(1/sqrt(lam)), standard above ~15).
+    clamped at >= 0 — error O(1/sqrt(lam)); the 12-electron switch point
+    is KS-validated against scipy at and above the threshold
+    (tests/test_noise.py), trading the literature's conservative ~15
+    for 8 fewer CDF terms in the hot loop.
 
 Exactness-critical callers (distribution parity tests, replay) can use
 ``jax.random.poisson`` via ``synthesize(..., poisson="exact")``.
@@ -27,19 +30,17 @@ SMALL_MAX = 12.0
 _N_TERMS = 40
 
 
-def fast_poisson(key, lam: jnp.ndarray) -> jnp.ndarray:
-    """Sample Poisson(lam) elementwise; returns float32 counts."""
-    k_u, k_n = jax.random.split(key)
-    lam = jnp.maximum(lam.astype(jnp.float32), 0.0)
+def poisson_small_from_uniform(lam_s, u):
+    """Fixed-step inverse-CDF Poisson for lam_s <= SMALL_MAX given
+    uniform draws ``u`` in (0, 1].  PRNG-agnostic and Pallas-compatible
+    — the single implementation shared by ``fast_poisson`` and the
+    fused kernel (``noise/kernels.py``), so the gate constants cannot
+    drift between the two paths.
 
-    # --- small branch: fixed-step inverse-CDF ---
-    lam_s = jnp.minimum(lam, SMALL_MAX)
-    u = jax.random.uniform(k_u, lam.shape, dtype=jnp.float32,
-                           minval=1e-12, maxval=1.0)
-    # accumulate F = sum_{k<=n} e^-lam lam^k / k! ; count = #{F < u}.
-    # The term recursion runs in LINEAR space (p_{k+1} = p_k*lam/(k+1)):
-    # one exp total — TPU's approximate transcendentals in a per-term
-    # log/exp recursion visibly skew the small-lam distribution.
+    Accumulates F = sum_{k<=n} e^-lam lam^k / k!; count = #{F < u}.
+    The term recursion runs in LINEAR space (p_{k+1} = p_k*lam/(k+1)):
+    one exp total — TPU's approximate transcendentals in a per-term
+    log/exp recursion visibly skew the small-lam distribution."""
     def body(k, carry):
         pk, cdf, count = carry
         # gate on pk: once terms underflow the remaining mass is < 1e-10;
@@ -53,6 +54,17 @@ def fast_poisson(key, lam: jnp.ndarray) -> jnp.ndarray:
     p0 = jnp.exp(-lam_s)
     _, _, small = jax.lax.fori_loop(
         0, _N_TERMS, body, (p0, p0, jnp.zeros_like(lam_s)))
+    return small
+
+
+def fast_poisson(key, lam: jnp.ndarray) -> jnp.ndarray:
+    """Sample Poisson(lam) elementwise; returns float32 counts."""
+    k_u, k_n = jax.random.split(key)
+    lam = jnp.maximum(lam.astype(jnp.float32), 0.0)
+
+    u = jax.random.uniform(k_u, lam.shape, dtype=jnp.float32,
+                           minval=1e-12, maxval=1.0)
+    small = poisson_small_from_uniform(jnp.minimum(lam, SMALL_MAX), u)
 
     # --- large branch: normal approximation ---
     n = jax.random.normal(k_n, lam.shape, dtype=jnp.float32)

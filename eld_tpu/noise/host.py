@@ -58,8 +58,13 @@ class HostNoiseModel:
         saturation_level = SATURATION_DEFAULT
         if self.k_mode == "overridden":
             log_K = rng.uniform(onp.log(1e-1), onp.log(30))
-        else:
+        elif self.k_mode == "calibrated":
             log_K = rng.uniform(onp.log(cp["Kmin"]), onp.log(cp["Kmax"]))
+        else:
+            # match the device path's strictness (params.sample_params):
+            # a typo'd mode must not silently change the K distribution
+            raise ValueError(f"unknown k_mode {self.k_mode!r} "
+                             "(use 'overridden' or 'calibrated')")
 
         def scale(key):
             p = prof[key]

@@ -28,11 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from eld_tpu.noise.fast_poisson import SMALL_MAX, poisson_small_from_uniform
 from eld_tpu.noise.params import NoiseParams
 
 BH = 128          # rows per tile
-_N_TERMS = 40     # Poisson CDF terms (matches fast_poisson)
-_SMALL_MAX = 12.0
 
 _TWO_PI = 6.283185307179586
 
@@ -55,23 +54,13 @@ def _normal_pair(shape):
 
 
 def _poisson_hybrid(lam, n_norm):
-    """Poisson(lam) given a standard normal draw for the large branch."""
-    lam_s = jnp.minimum(lam, _SMALL_MAX)
+    """Poisson(lam) given a standard normal draw for the large branch.
+    The small branch is fast_poisson's shared inverse-CDF loop (one
+    implementation; the gate constants cannot drift between paths)."""
     u = jnp.maximum(_uniform(lam.shape), 1e-12)
-
-    def body(k, carry):
-        pk, cdf, count = carry
-        live = jnp.logical_and(cdf < u, pk > 1e-12)
-        count = count + live.astype(jnp.float32)
-        pk = pk * lam_s / (k + 1).astype(jnp.float32)
-        cdf = cdf + pk
-        return pk, cdf, count
-
-    p0 = jnp.exp(-lam_s)
-    _, _, small = jax.lax.fori_loop(0, _N_TERMS, body,
-                                    (p0, p0, jnp.zeros_like(lam_s)))
+    small = poisson_small_from_uniform(jnp.minimum(lam, SMALL_MAX), u)
     large = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * n_norm), 0.0)
-    return jnp.where(lam > _SMALL_MAX, large, small)
+    return jnp.where(lam > SMALL_MAX, large, small)
 
 
 def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
@@ -79,7 +68,14 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
                   channels: int):
     img = pl.program_id(0)
     tile = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0, 0] + img * pl.num_programs(1) + tile)
+    # FOLD the step seed and the (img, tile) index as TWO seed words
+    # (Mosaic's cap) instead of adding them into one: additive seeding
+    # (seed + img*tiles + tile) reused identical bit-streams whenever
+    # two step seeds differed by < n*tiles — consecutive step numbers
+    # would replay (step s, tile t+1) as (step s+1, tile t).  With two
+    # folded words, distinct step seeds give distinct streams for ALL
+    # tiles, and within a step img*tiles+tile is injective.
+    pltpu.prng_seed(seed_ref[0, 0], img * pl.num_programs(1) + tile)
 
     K = K_ref[img, 0]
     sat = sat_ref[img, 0]
@@ -88,7 +84,10 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
     y = y_ref[0] * (sat / ratio)  # (bh, w*c): rows x lanes
     shape = y.shape
 
-    n1, n2 = _normal_pair(shape)
+    # model is static: only pay the Box-Muller transcendentals when a
+    # component actually consumes a normal draw
+    if "P" in model or "p" in model or "g" in model:
+        n1, n2 = _normal_pair(shape)
 
     if "P" in model:
         z = _poisson_hybrid(y / K, n1) * K
@@ -136,12 +135,15 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
     out_ref[0] = z * (ratio / sat)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "interpret"))
+@functools.partial(jax.jit, static_argnames=("model", "interpret", "clip"))
 def synthesize_pallas(seed, clean, params: NoiseParams, model: str = "PGrqc",
-                      interpret: bool = False):
+                      interpret: bool = False, clip: bool = True):
     """Fused noise synthesis. clean: (N, H, W, C); params batched (N,).
 
-    seed: int32 scalar (distinct per step). Returns clipped noisy batch.
+    seed: int32 scalar (distinct per step; (seed, image, tile) are folded
+    into the hardware PRNG, so consecutive step seeds are safe).
+    clip=False returns the raw noisy signal (sub-zero noise floor kept),
+    matching ``synthesize(..., clip=False)``'s contract.
     """
     from eld_tpu.noise.model import expand_model
 
@@ -182,4 +184,5 @@ def synthesize_pallas(seed, clean, params: NoiseParams, model: str = "PGrqc",
         scalar(params.saturation_level), scalar(params.ratio),
         flat,
     )
-    return jnp.clip(out.reshape(n, h, w, c), 0.0, 1.0)
+    out = out.reshape(n, h, w, c)
+    return jnp.clip(out, 0.0, 1.0) if clip else out

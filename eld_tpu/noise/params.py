@@ -113,7 +113,10 @@ def load_camera_params(
         # Some cameras calibrate fewer ISO settings (16 vs 18); edge-pad so
         # the bank stacks, and record the real count — sampling draws
         # iso ~ U[0, n_iso[camera]) so padding rows are never selected.
-        cols["n_iso"].append(min(len(g_shape), cb.shape[0]))
+        # Clamp to N_ISO too: _pad_rows TRUNCATES longer files, and an
+        # unclamped count would make the gather silently oversample the
+        # last stored row (and diverge from the untruncated host path).
+        cols["n_iso"].append(min(len(g_shape), cb.shape[0], N_ISO))
         cols["g_shape"].append(_pad_rows(g_shape[:, None], N_ISO)[:, 0])
         cols["color_bias"].append(_pad_rows(cb, N_ISO))
     arrs = {
