@@ -28,8 +28,11 @@ def extract_patches(img: onp.ndarray, patch: int, stride: int) -> onp.ndarray:
     """(H, W, C) -> (N, patch, patch, C) grid patches, center-aligned
     (the builder's crop-to-grid + Data2Volume, lmdb_data.py:108-151)."""
     H, W, C = img.shape
-    ny = (H - patch) // stride + 1
-    nx = (W - patch) // stride + 1
+    # images smaller than a patch yield ZERO patches — floor division of
+    # a negative numerator would otherwise compute ny/nx = -1 and emit
+    # one patch of uninitialized memory
+    ny = max((H - patch) // stride + 1, 0)
+    nx = max((W - patch) // stride + 1, 0)
     crop_h = (ny - 1) * stride + patch
     crop_w = (nx - 1) * stride + patch
     y0 = (H - crop_h) // 2
@@ -79,8 +82,10 @@ def build_patch_db(
 
                 x = _srgb(x, wb, ccm, crf)
             x = onp.clip(x, 0.0, 1.0)
-            if uint16:
-                x = (x * 65535).astype(onp.uint16)
+            # clipped floats go straight to append(): the writer's own
+            # float->uint16 path rounds symmetrically (rint), while a
+            # manual (x*65535).astype cast would truncate — a systematic
+            # half-LSB downward bias and a second quantization semantic
             n_before = w._count
             for p in extract_patches(x, patch, stride):
                 w.append(p, wb=wb, ccm=ccm)

@@ -54,6 +54,30 @@ class ConcatDataset(Dataset):
             d.reset()
 
 
+class IndexedRNG:
+    """Deterministic, thread-safe per-sample randomness.
+
+    numpy Generators are NOT thread-safe, and the Loader's worker
+    threads call ``__getitem__`` concurrently — a single shared
+    Generator risks bit-generator state corruption and makes crop/
+    augmentation draws depend on thread scheduling.  Every sample
+    instead derives a fresh Generator from (base seed, epoch, index):
+    reproducible given the seed regardless of worker count, distinct
+    across epochs AND across repeat-virtualized revisits of the same
+    record.  The Loader pins the epoch via ``set_epoch`` (resume lands
+    on the same streams); ``reset()`` (the torchdata protocol hook)
+    advances it manually."""
+
+    def __init__(self, rng=None):
+        src = rng if isinstance(rng, onp.random.Generator) \
+            else onp.random.default_rng(rng)
+        self._seed = int(src.integers(0, 2**63 - 1))
+        self.epoch = 0
+
+    def at(self, index) -> onp.random.Generator:
+        return onp.random.default_rng((self._seed, self.epoch, int(index)))
+
+
 def _augment(rng, *imgs):
     """Joint random flip/flip/transpose (reference sid_dataset.py:137-145)."""
     out = list(imgs)
@@ -94,8 +118,14 @@ class SIDDataset(Dataset):
         self.gt_wb = gt_wb
         self.crf = crf
         self.patch_size = patch_size
-        self.rng = rng or onp.random.default_rng()
+        self._rng = IndexedRNG(rng)
         self._cache = {}
+
+    def set_epoch(self, epoch: int):
+        self._rng.epoch = int(epoch)
+
+    def reset(self):
+        self._rng.epoch += 1
 
     def _load_target(self, target_fn):
         raw = rawio.imread(join(self.datadir, "long", target_fn))
@@ -114,6 +144,7 @@ class SIDDataset(Dataset):
         return img
 
     def __getitem__(self, i):
+        rng = self._rng.at(i)  # pre-modulo: repeats get distinct crops
         i = i % len(self.paired_fns)
         input_fn, target_fn = self.paired_fns[i][:2]
         ratio = compute_expo_ratio(input_fn, target_fn)
@@ -131,12 +162,19 @@ class SIDDataset(Dataset):
 
         if self.augment:
             ps = self.patch_size
-            H, W = inp.shape[0], target.shape[1]
-            yy = int(self.rng.integers(0, H - ps))
-            xx = int(self.rng.integers(0, W - ps))
+            # both bounds from the INPUT frame (pairs are same-geometry;
+            # a target-side W would crop out of sync if they ever differ)
+            H, W = inp.shape[0], inp.shape[1]
+            if H < ps or W < ps:
+                raise ValueError(
+                    f"{input_fn}: frame {H}x{W} is smaller than "
+                    f"patch_size {ps}")
+            # +1: an exactly-patch-sized frame crops at offset 0
+            yy = int(rng.integers(0, H - ps + 1))
+            xx = int(rng.integers(0, W - ps + 1))
             inp_c = inp[yy:yy + ps, xx:xx + ps]
             tgt_c = target[yy:yy + ps, xx:xx + ps]
-            inp_c, tgt_c = _augment(self.rng, inp_c, tgt_c)
+            inp_c, tgt_c = _augment(rng, inp_c, tgt_c)
         else:
             inp_c, tgt_c = inp, target
 
@@ -199,8 +237,13 @@ class ISPDataset(Dataset):
         if self.noise_maker is not None:
             x = self.noise_maker(x)
         x = onp.clip(x, 0.0, 1.0)
-        # stores may virtualize length (size/repeat); wrap like they do
-        j = i % len(self.meta["wb"])
+        # ask the store which PHYSICAL record item i maps to — wrapping
+        # by the meta length here would pair the wrong wb/ccm whenever
+        # the store virtualizes a smaller size
+        if hasattr(self.dataset, "physical_index"):
+            j = self.dataset.physical_index(i)
+        else:
+            j = i % len(self.meta["wb"])
         x = _srgb(x, self.meta["wb"][j], self.meta["ccm"][j], self.crf)
         return onp.ascontiguousarray(onp.clip(x, 0.0, 1.0), onp.float32)
 
@@ -218,14 +261,23 @@ class ELDTrainDataset(Dataset):
         self.input_datasets = list(input_datasets)
         self.size = size
         self.augment = augment
-        self.rng = rng or onp.random.default_rng()
+        self._rng = IndexedRNG(rng)
+
+    def set_epoch(self, epoch: int):
+        self._rng.epoch = int(epoch)
+
+    def reset(self):
+        self._rng.epoch += 1
+        for d in (self.target_dataset, *self.input_datasets):
+            if hasattr(d, "reset"):
+                d.reset()
 
     def __getitem__(self, i):
         n = len(self.input_datasets)
         inp = self.input_datasets[i % n][i // n]
         tgt = self.target_dataset[i // n]
         if self.augment:
-            inp, tgt = _augment(self.rng, inp, tgt)
+            inp, tgt = _augment(self._rng.at(i), inp, tgt)
         return {
             "input": onp.ascontiguousarray(onp.clip(inp, 0.0, 1.0), onp.float32),
             "target": onp.ascontiguousarray(tgt, onp.float32),
@@ -249,8 +301,14 @@ class CleanPatchDataset(Dataset):
         self.size = size
         self.repeat = repeat
         self.augment = augment
-        self.rng = rng or onp.random.default_rng()
+        self._rng = IndexedRNG(rng)
         self.device_normalize = device_normalize
+
+    def set_epoch(self, epoch: int):
+        self._rng.epoch = int(epoch)
+
+    def reset(self):
+        self._rng.epoch += 1
 
     def __getitem__(self, i):
         idx = i % (self.size or len(self.store))
@@ -259,7 +317,7 @@ class CleanPatchDataset(Dataset):
         else:
             x = self.store[idx]
         if self.augment:
-            (x,) = _augment(self.rng, x)
+            (x,) = _augment(self._rng.at(i), x)
         return {"clean": onp.ascontiguousarray(x)}
 
     def __len__(self):

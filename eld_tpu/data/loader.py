@@ -83,6 +83,11 @@ class Loader:
         return onp.arange(n)
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            # pin per-sample augmentation streams to the same epoch as
+            # the shuffle permutation (thread-scheduling-independent AND
+            # resume-reproducible — see datasets.IndexedRNG)
+            self.dataset.set_epoch(self._epoch)
         idxs = self._indices()
         self._epoch += 1
         batches = [

@@ -24,8 +24,14 @@ def read_paired_fns(filename: str):
 
 
 def read_expo_time(fn: str) -> float:
-    """Exposure seconds encoded in SID filenames like 00001_00_0.04s.ARW."""
-    return float(fn.split("_")[-1][:-5])
+    """Exposure seconds encoded in SID filenames like 00001_00_0.04s.ARW.
+
+    Splits the extension off first (``.tiff``/``.rawpack`` conversions
+    have non-4-char extensions; a fixed [:-5] strip broke on them)."""
+    stem = os.path.splitext(fn.split("_")[-1])[0]
+    if not stem.endswith("s"):
+        raise ValueError(f"{fn}: no '<seconds>s' exposure field in name")
+    return float(stem[:-1])
 
 
 def compute_expo_ratio(input_fn: str, target_fn: str, cap: float = 300.0) -> float:

@@ -125,6 +125,13 @@ class PatchStore:
             self._mm = onp.memmap(bin_path, dtype=self.dtype, mode="r",
                                   offset=_HEADER_BYTES,
                                   shape=(self._count, *self.shape))
+        if size is not None and size > self._count:
+            # length virtualization SHRINKS the visible subset (reference
+            # LMDBDataset semantics); a larger size would index past the
+            # physical records (garbage from the native reader under -O)
+            raise ValueError(
+                f"{path}: size={size} exceeds the store's {self._count} "
+                "records (use repeat= to lengthen epochs)")
         self.length = size or self._count
         self.repeat = repeat
         self.meta = self._load_aux()
@@ -137,6 +144,13 @@ class PatchStore:
 
     def __len__(self):
         return int(self.length * self.repeat)
+
+    def physical_index(self, index: int) -> int:
+        """Map a (size/repeat-virtualized) item index to the underlying
+        record number — also the row of the aux ``meta`` arrays that
+        belongs to it (per-patch wb/ccm consumers must use THIS, not a
+        modulo by the meta length: the two disagree when size < count)."""
+        return int(index) % self.length
 
     def record(self, index: int) -> onp.ndarray:
         """Raw record at index (original dtype)."""

@@ -161,8 +161,14 @@ class RawFile:
             # land R/B samples in the wrong planes — refuse instead.
             from eld_tpu.core.packing import xtrans_pattern
 
-            if self.cfa_pattern.shape == (6, 6) and not onp.array_equal(
-                    self.cfa_pattern, xtrans_pattern()):
+            if self.cfa_pattern.shape != (6, 6):
+                # a missing/Bayer-shaped pattern must not BYPASS the
+                # phase check — packing at an unknown phase is exactly
+                # the silent R/B-plane corruption this guard prevents
+                raise UnsupportedRawError(
+                    f"cfa='xtrans' needs a (6, 6) cfa_pattern to verify "
+                    f"the phase; got shape {self.cfa_pattern.shape}")
+            if not onp.array_equal(self.cfa_pattern, xtrans_pattern()):
                 raise UnsupportedRawError(
                     "X-Trans CFA phase differs from the canonical layout "
                     "pack_xtrans assumes; re-crop the visible area to the "
@@ -267,9 +273,19 @@ def _open_native(path: str) -> RawFile:
 
 def _open_rawpack(path: str) -> RawFile:
     z = onp.load(path, allow_pickle=False)
+    # accept a scalar or per-channel black level; broadcast to the (4,)
+    # contract (RawFile.packed reshapes to (1,1,4) — a short array would
+    # crash there with an opaque reshape error instead of here)
+    black = onp.asarray(z["black_level"], onp.float32).reshape(-1)
+    if black.size == 1:
+        black = onp.full(4, black[0], onp.float32)
+    elif black.size < 4:
+        raise ValueError(
+            f"{path}: black_level has {black.size} entries; need a "
+            "scalar or one per packed channel (4)")
     return RawFile(
         mosaic=onp.asarray(z["mosaic"], onp.uint16),
-        black_level=onp.asarray(z["black_level"], onp.float32).reshape(-1)[:4],
+        black_level=black[:4],
         white_level=float(z.get("white_level", WHITE_POINT)),
         cfa_pattern=onp.asarray(z.get("cfa_pattern", [[0, 1], [3, 2]]), onp.uint8),
         wb=onp.asarray(z.get("wb", [1, 1, 1, 1]), onp.float32),

@@ -318,3 +318,98 @@ def test_parse_pairs_file(tmp_path):
     bad.write_text("a.ARW b.ARW x300\n")
     with pytest.raises(SystemExit, match="not a number"):
         parse_pairs_file(str(bad))
+
+
+# ---------- review-fix regressions (round 3) ----------
+
+def test_augmentation_is_worker_count_independent(clean_store):
+    """Per-(epoch, index) RNG streams: the same seed gives the same
+    augmented samples whether __getitem__ runs single-threaded or on 4
+    concurrent workers (a shared numpy Generator was thread-unsafe and
+    scheduling-dependent)."""
+    def run(workers):
+        ds = CleanPatchDataset(clean_store, rng=onp.random.default_rng(7))
+        loader = Loader(ds, batch_size=2, shuffle=True, num_workers=workers,
+                        seed=3)
+        return [onp.asarray(b["clean"]) for b in loader]
+
+    a, b = run(0), run(4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        onp.testing.assert_array_equal(x, y)
+
+
+def test_augmentation_varies_by_epoch_and_repeat(clean_store):
+    ds = CleanPatchDataset(clean_store, repeat=2,
+                           rng=onp.random.default_rng(7))
+    n = len(clean_store)
+    # repeat-virtualized revisit of the same record: distinct augmentation
+    items = [ds[i]["clean"] for i in (0, n)]
+    assert not onp.array_equal(items[0], items[1])
+    # epochs differ
+    e0 = ds[0]["clean"]
+    ds.set_epoch(1)
+    assert not onp.array_equal(e0, ds[0]["clean"])
+
+
+def test_sid_crop_accepts_exact_patch_size(sid_tree):
+    root, pairs = sid_tree
+    ds = SIDDataset(root, pairs, augment=True, patch_size=32,
+                    memorize=False, rng=onp.random.default_rng(0))
+    item = ds[0]  # frames are exactly 32x32 packed -> offset 0 crop
+    assert item["input"].shape == (32, 32, 4)
+
+
+def test_isp_dataset_meta_follows_size_virtualization(clean_store, tmp_path, rng):
+    """With size < count, item i reads record i%size — the wb/ccm row
+    must follow the STORE's mapping, not a modulo by the meta length."""
+    path = str(tmp_path / "meta.eps")
+    with PatchStoreWriter(path, (8, 8, 4), dtype=onp.uint16) as w:
+        for k in range(4):
+            w.append(onp.full((8, 8, 4), 0.25, onp.float32),
+                     wb=onp.array([1.0 + k, 1.0, 1.0, 1.0]), ccm=onp.eye(3))
+    store = PatchStore(path, size=2, repeat=2)  # items 0..3 -> records 0,1,0,1
+    ds = ISPDataset(store)
+    # item 2 maps to record 0: its render must equal item 0's, and differ
+    # from what record-2's wb (gain 3.0) would produce
+    onp.testing.assert_array_equal(ds[2], ds[0])
+    assert not onp.array_equal(ds[2], ds[1])
+
+
+def test_patchstore_rejects_oversized_size(clean_store):
+    with pytest.raises(ValueError, match="exceeds"):
+        PatchStore(clean_store.path, size=len(clean_store) + 1)
+
+
+def test_extract_patches_small_image_yields_zero():
+    out = extract_patches(onp.zeros((20, 200, 4), onp.float32), 64, 32)
+    assert out.shape[0] == 0
+    out = extract_patches(onp.zeros((20, 20, 4), onp.float32), 64, 32)
+    assert out.shape[0] == 0
+
+
+def test_read_expo_time_any_extension():
+    from eld_tpu.data.pairs import read_expo_time
+
+    assert read_expo_time("00001_00_0.04s.ARW") == 0.04
+    assert read_expo_time("00001_00_0.04s.tiff") == 0.04
+    assert read_expo_time("00001_00_10s.rawpack") == 10.0
+    with pytest.raises(ValueError):
+        read_expo_time("00001_00_noexpo.ARW")
+
+
+def test_rawpack_scalar_black_and_xtrans_phase_guard(tmp_path):
+    from eld_tpu.data import rawio
+
+    p = str(tmp_path / "a.npz")
+    onp.savez(p, mosaic=onp.full((8, 8), 1000, onp.uint16), black_level=512)
+    raw = rawio.imread(p)
+    assert raw.black_level.shape == (4,)
+    assert raw.packed().shape == (4, 4, 4)
+
+    # xtrans WITHOUT a 6x6 pattern must refuse, not pack at a guessed phase
+    x = str(tmp_path / "x.npz")
+    onp.savez(x, mosaic=onp.full((12, 12), 1000, onp.uint16),
+              black_level=512, cfa="xtrans")
+    with pytest.raises(rawio.UnsupportedRawError, match="6, 6"):
+        rawio.imread(x).packed()
