@@ -121,21 +121,32 @@ def pack_xtrans(cfa, xp=onp):
 
 
 def unpack_xtrans(img, xp=onp):
-    """Inverse of :func:`pack_xtrans`: (h, w, 9) -> (3h, 3w) mosaic."""
+    """Inverse of :func:`pack_xtrans`: (h, w, 9) -> (3h, 3w) mosaic.
+
+    The jnp path uses functional ``.at[].set`` scatters (static strided
+    slices), so it is jit-traceable like the module contract promises —
+    the old host round-trip raised TracerArrayConversionError under jit.
+    """
     h, w = img.shape[0], img.shape[1]
     H, W = 3 * h, 3 * w
-    if xp is not onp:
-        img = onp.asarray(img)  # scatter-style writes: do on host
-    cfa = onp.zeros((H, W), dtype=onp.float32)
+    if xp is onp:
+        cfa = onp.zeros((H, W), dtype=onp.float32)
+        for ch in range(9):
+            if ch in _XTRANS_QUAD:
+                for (mr, mc, pr, pc) in _XTRANS_QUAD[ch]:
+                    cfa[mr:H:6, mc:W:6] = img[pr::2, pc::2, ch]
+            else:
+                mr, mc = _XTRANS_TRI[ch]
+                cfa[mr:H:3, mc:W:3] = img[..., ch]
+        return cfa
+    cfa = xp.zeros((H, W), dtype=xp.float32)
     for ch in range(9):
         if ch in _XTRANS_QUAD:
             for (mr, mc, pr, pc) in _XTRANS_QUAD[ch]:
-                cfa[mr:H:6, mc:W:6] = img[pr::2, pc::2, ch]
+                cfa = cfa.at[mr:H:6, mc:W:6].set(img[pr::2, pc::2, ch])
         else:
             mr, mc = _XTRANS_TRI[ch]
-            cfa[mr:H:3, mc:W:3] = img[..., ch]
-    if xp is not onp:
-        return xp.asarray(cfa)
+            cfa = cfa.at[mr:H:3, mc:W:3].set(img[..., ch])
     return cfa
 
 

@@ -29,7 +29,14 @@ def chop_geometry(h: int, w: int, base: int = 16, min_shave: int = 10):
         shave_h += base
     if shave_w < min_shave:
         shave_w += base
-    return h_half + shave_h, w_half + shave_w, h_half, w_half
+    hs, ws = h_half + shave_h, w_half + shave_w
+    if hs > h or ws > w:
+        # tiles would exceed the frame: corner anchoring then duplicates
+        # tile 0 and the stitch slices go empty/ragged — refuse clearly
+        raise ValueError(
+            f"frame {h}x{w} is too small to 4-tile chop at base={base} "
+            f"(tiles would be {hs}x{ws}); run the plain forward instead")
+    return hs, ws, h_half, w_half
 
 
 def forward_chop(apply_fn, x, base: int = 16, min_shave: int = 10):

@@ -13,13 +13,19 @@ import jax.numpy as jnp
 
 
 def illuminance_correct(pred, source):
-    """Correct one image: pred, source (H, W, C) -> scaled pred."""
+    """Correct one image: pred, source (H, W, C) -> scaled pred.
+
+    Degenerate cases (all-zero prediction after the clip, or a fully
+    saturated source leaving an empty mask) keep alpha = 1 instead of
+    0/0 = NaN — the reference NaNs there, which would silently poison
+    eval metrics and best-checkpoint tracking."""
     pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
     source = source.astype(jnp.float32)
     mask = (source != 1.0).astype(jnp.float32)
     num = jnp.sum(pred * source * mask)
     den = jnp.sum(pred * pred * mask)
-    return (num / den) * pred
+    alpha = jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 1.0)
+    return alpha * pred
 
 
 def illuminance_correct_batch(pred, source):

@@ -85,14 +85,16 @@ def quality_assess(pred, target, data_range=255.0):
     }
 
 
+def _luma(r, g, b):
+    """BT.601 luma — the ONE place the gray convention lives."""
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
 def raw2gray(bayer_images):
     """Batched packed-raw (T, H, W, 4) -> luma (T, H, W), the reference's
     RGBG->RGB->gray video helper (``util/index.py:9-19``)."""
     x = jnp.asarray(bayer_images, jnp.float32)
-    r = x[..., 0]
-    g = 0.5 * (x[..., 1] + x[..., 3])
-    b = x[..., 2]
-    return 0.299 * r + 0.587 * g + 0.114 * b
+    return _luma(x[..., 0], 0.5 * (x[..., 1] + x[..., 3]), x[..., 2])
 
 
 def compare_ncc(x, y):
@@ -150,11 +152,15 @@ def quality_assess_video(pred, target, data_range=255.0):
                     f"STRRED expects 3-channel RGB or 4-channel packed-raw "
                     f"clips (the reference's domain); got {x.shape[-1]} "
                     f"channels, shape {x.shape}")
-            r, g, b = x[..., 0], x[..., 1], x[..., 2]
-            return 0.299 * r + 0.587 * g + 0.114 * b
+            return _luma(x[..., 0], x[..., 1], x[..., 2])
 
+        # STRRED's GSM noise floor (sigma_nsq = 0.1) is the published
+        # constant for 0-255 luma (skvideo/the paper's domain); feed luma
+        # on THAT scale — normalizing to [0,1] would shrink subband
+        # variances ~65536x under a fixed floor and crush the entropies
+        scale = 255.0 / data_range
         _, out["STRRED"], out["STRREDSN"] = strred(
-            _gray(target) / data_range, _gray(pred) / data_range)
+            _gray(target) * scale, _gray(pred) * scale)
     else:
         out["STRRED"] = 0.0
         out["STRREDSN"] = 0.0

@@ -122,6 +122,10 @@ def steerable_band(frame, level: int = 4, orientation: int = 0,
         raise ValueError(f"level must be >= 1, got {level}")
     if not 0 <= orientation < nbands:
         raise ValueError(f"orientation must be in [0, {nbands}), got {orientation}")
+    # NOTE on realness (all K): under w -> -w the angular window picks up
+    # (-1)^(K-1), which cancels against conj((-i)^(K-1)) = i^(K-1), so the
+    # mask is Hermitian and the band exactly real for EVERY nbands —
+    # including the even sp5 default (asserted by test_band_real_*).
     h, w = frame.shape
     d = 2 ** (level - 1)
     if min(h, w) < 4 * d:

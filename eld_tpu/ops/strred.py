@@ -85,6 +85,13 @@ def _est_params(y):
     """GSM local params over 3x3 blocks: (premultipliers s, entropies h)."""
     h, w = y.shape
     hc, wc = (h // _BLK) * _BLK, (w // _BLK) * _BLK
+    if hc == 0 or wc == 0:
+        # zero blocks -> mean/cov over an empty axis is silent NaN; the
+        # frame (after subband decimation) is just too small for STRRED
+        raise ValueError(
+            f"subband {h}x{w} has no full {_BLK}x{_BLK} blocks — frames "
+            f"are too small for ST-RRED (luma must stay >= "
+            f"{_BLK * 8} px after the pyramid's decimation)")
     y = y[:hc, :wc]
     b = (y.reshape(hc // _BLK, _BLK, wc // _BLK, _BLK)
           .transpose(0, 2, 1, 3).reshape(-1, _BLK * _BLK))

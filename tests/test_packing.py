@@ -86,3 +86,16 @@ def test_crop_center():
     out = packing.crop_center(img, 4, 4)
     assert out.shape == (4, 4, 4)
     assert (out == 1.0).all()
+
+
+def test_unpack_xtrans_jit_traceable(rng):
+    """The module contract says every packer works under jit with
+    xp=jnp; the X-Trans inverse used to round-trip through host NumPy
+    and raise TracerArrayConversionError."""
+    import jax
+
+    cfa = rng.random((12, 24)).astype(onp.float32)
+    packed = packing.pack_xtrans(cfa)
+    back = jax.jit(lambda p: packing.unpack_xtrans(p, xp=jnp))(
+        jnp.asarray(packed))
+    onp.testing.assert_allclose(onp.asarray(back), cfa, rtol=1e-6)
