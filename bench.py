@@ -50,7 +50,9 @@ WARMUP = 3
 #   2. deadline watchdog: a daemon thread that, if the full bench hasn't
 #      finished in BENCH_DEADLINE_S, emits whatever partial measurements
 #      exist as the JSON record (error-tagged) and hard-exits.
-PROBE_TIMEOUT_S = 120
+PROBE_TIMEOUT_S = 420  # measured claim latency through the tunnel varies
+# ~80-240s day to day (r3: a bare jax.devices() took 3m41s on a healthy
+# chip); 120s misdiagnosed a live TPU as unreachable
 BENCH_DEADLINE_S = 2400
 _partials = {}
 _finished = threading.Event()
