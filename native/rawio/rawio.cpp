@@ -92,6 +92,12 @@ struct Raw {
   uint32_t sens_left = 0, sens_top = 0, sens_right = 0, sens_bottom = 0;
   bool has_sensor_info = false;
   uint32_t full_width = 0, full_height = 0;  // pre-crop mosaic dims
+
+  // DNG ActiveArea (tag 0xC68D): the non-masked window of an uncompressed
+  // DNG mosaic — top/left inclusive, bottom/right exclusive (DNG spec;
+  // dcraw's parse_tiff_ifd case 50829 uses the same arithmetic)
+  uint32_t act_top = 0, act_left = 0;
+  bool has_active = false;
 };
 
 enum Warn {
@@ -676,6 +682,7 @@ int parse(Raw& r) {
     r.width = (uint32_t)w;
     r.height = (uint32_t)h;
     r.cfa_dim = 2;  // reset per winning frame (a losing IFD may have set 6)
+    r.has_active = false;
     const Entry* ce = find(ifd, 0x0103);
     r.compression = ce ? (uint32_t)read_val(r, *ce, 0) : 1;
     const Entry* be = find(ifd, 0x0102);
@@ -709,6 +716,31 @@ int parse(Raw& r) {
       for (uint32_t i = 0; i < n; ++i) r.cfa_full[i] = (uint8_t)tmp[i];
       if (r.cfa_dim == 2)
         for (int i = 0; i < 4; ++i) r.cfa[i] = (uint8_t)tmp[i];
+    }
+    // DNG ActiveArea: crop the masked borders off the uncompressed
+    // mosaic (reference semantics: rawpy's raw_image_visible,
+    // sid_dataset.py:175).  CFAPattern needs NO re-phasing — the DNG
+    // spec pins its origin to the TOP-LEFT OF THE ACTIVE AREA, not of
+    // the stored image.  Vendor-compressed paths (ARW2/NEF/CR2) carry
+    // their own maker-note border semantics, so the tag is honored for
+    // uncompressed frames only.
+    if (r.compression == 1) {
+      if (const Entry* e = find(ifd, 0xC68D)) {
+        double aa[4] = {0, 0, 0, 0};
+        read_vec(r, *e, aa, 4);
+        uint32_t top = (uint32_t)aa[0], left = (uint32_t)aa[1];
+        uint32_t bot = (uint32_t)aa[2], rgt = (uint32_t)aa[3];
+        if (bot > top && rgt > left && bot <= r.height && rgt <= r.width &&
+            (top || left || bot < r.height || rgt < r.width)) {
+          r.full_width = r.width;
+          r.full_height = r.height;
+          r.act_top = top;
+          r.act_left = left;
+          r.width = rgt - left;
+          r.height = bot - top;
+          r.has_active = true;
+        }
+      }
     }
   }
   // Canon CR2: the raw lives in an IFD with a lossless-JPEG strip and the
@@ -967,23 +999,33 @@ int rio_read_raw(void* h, uint16_t* dst) {
   if (r->compression != 1) return RIO_E_UNSUPPORTED_COMPRESSION;
   if (r->bits != 16 && r->bits != 8 && r->bits != 12 && r->bits != 14)
     return RIO_E_FORMAT;
-  uint64_t total = (uint64_t)r->width * r->height;
+  // with an ActiveArea crop, decode the full stored mosaic into a
+  // scratch buffer first, then copy out the visible window
+  const uint32_t W = r->has_active ? r->full_width : r->width;
+  const uint32_t H = r->has_active ? r->full_height : r->height;
+  std::vector<uint16_t> scratch;
+  uint16_t* out = dst;
+  if (r->has_active) {
+    scratch.resize((size_t)W * H);
+    out = scratch.data();
+  }
+  uint64_t total = (uint64_t)W * H;
   uint64_t out_i = 0;
   for (size_t s = 0; s < r->strip_offs.size() && out_i < total; ++s) {
     uint64_t off = r->strip_offs[s];
     uint64_t nbytes = s < r->strip_cnts.size()
                           ? r->strip_cnts[s]
-                          : ((uint64_t)r->rows_per_strip * r->width * r->bits + 7) / 8;
+                          : ((uint64_t)r->rows_per_strip * W * r->bits + 7) / 8;
     if (off + nbytes > r->n) return RIO_E_FORMAT;
     const uint8_t* p = r->d + off;
     if (r->bits == 16) {
       uint64_t cnt = nbytes / 2;
       for (uint64_t i = 0; i < cnt && out_i < total; ++i, ++out_i)
-        dst[out_i] = r->le ? (p[2 * i] | p[2 * i + 1] << 8)
+        out[out_i] = r->le ? (p[2 * i] | p[2 * i + 1] << 8)
                            : (p[2 * i] << 8 | p[2 * i + 1]);
     } else if (r->bits == 8) {
       for (uint64_t i = 0; i < nbytes && out_i < total; ++i, ++out_i)
-        dst[out_i] = p[i];
+        out[out_i] = p[i];
     } else {
       // 12/14-bit big-endian-packed bitstream (DNG packed layout)
       uint32_t acc = 0;
@@ -993,12 +1035,18 @@ int rio_read_raw(void* h, uint16_t* dst) {
         nbits += 8;
         while (nbits >= (int)r->bits && out_i < total) {
           nbits -= r->bits;
-          dst[out_i++] = (acc >> nbits) & ((1u << r->bits) - 1);
+          out[out_i++] = (acc >> nbits) & ((1u << r->bits) - 1);
         }
       }
     }
   }
-  return out_i == total ? RIO_OK : RIO_E_FORMAT;
+  if (out_i != total) return RIO_E_FORMAT;
+  if (r->has_active)
+    for (uint32_t row = 0; row < r->height; ++row)
+      std::memcpy(dst + (size_t)row * r->width,
+                  scratch.data() + ((size_t)(row + r->act_top) * W + r->act_left),
+                  (size_t)r->width * 2);
+  return RIO_OK;
 }
 
 void rio_close(void* h) {

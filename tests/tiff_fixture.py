@@ -53,11 +53,15 @@ def long_(v):
 def make_dng(mosaic: onp.ndarray, iso=1600, exposure=0.1,
              black=(512, 512, 512, 512), white=16383,
              cfa=(0, 1, 1, 2), wb_neutral=(0.5, 1.0, 0.6),
-             ccm=None) -> bytes:
+             ccm=None, active_area=None) -> bytes:
     """mosaic: (H, W) uint16 -> serialized little-endian TIFF bytes.
 
     ``cfa`` may be 4 codes (2x2 Bayer) or 36 codes (6x6 X-Trans); the
-    latter adds a CFARepeatPatternDim tag."""
+    latter adds a CFARepeatPatternDim tag.  ``active_area`` is an optional
+    (top, left, bottom, right) DNG ActiveArea rectangle (bottom/right
+    exclusive) written as tag 0xC68D; per the DNG spec the ``cfa`` pattern
+    then describes the phase AT the active origin, and ``mosaic`` is the
+    full stored frame including the masked borders."""
     h, w = mosaic.shape
     b = TiffBuilder()
 
@@ -78,6 +82,9 @@ def make_dng(mosaic: onp.ndarray, iso=1600, exposure=0.1,
         (0xC61A, T_RATIONAL, 4, black_off),       # BlackLevel
         (0xC61D, T_LONG, 1, long_(white)),        # WhiteLevel
     ]
+    if active_area is not None:
+        aa_off = b.put(b"".join(struct.pack("<I", int(v)) for v in active_area))
+        sub_entries.append((0xC68D, T_LONG, 4, long_(aa_off)))
     if len(cfa_bytes) == 4:
         sub_entries.append((0x828E, T_BYTE, 4, cfa_bytes))
     else:
