@@ -1,0 +1,177 @@
+"""Host raw-decode throughput benchmark (VERDICT r3 #6).
+
+``native/rawio`` sits on the critical path of every real-data eval and
+serving run (the reference's rawpy/LibRaw decode, ``dataset/
+sid_dataset.py:88-123``, was likewise unmeasured — but ours claims to
+replace it, so it gets a number).  Reports, per format:
+
+  - ``decode_ms``      time for ``rawio.imread`` (parse + entropy decode)
+  - ``packed_ms``      imread + ``RawFile.packed()`` (the full host path
+                       a dataset item pays: decode -> pack -> normalize)
+  - ``mb_per_s``       file MB/s through imread
+  - ``mpix_per_s``     decoded mosaic megapixels/s through imread
+  - ``frames_per_s``   1000 / decode_ms
+
+Usage:
+    python -m eld_tpu.tools.bench_decode [files...]
+        [--threads N] [--reps K] [--small] [--out rec.jsonl]
+
+With explicit raw files, each is benchmarked as-is (the honest number
+for real vendor data).  With no files it synthesizes one bitstream per
+native format (ARW2.3 / CR2 lossless-JPEG / NEF lossless / uncompressed
+DNG) via the test-suite encoders — this requires the repo checkout
+(``tests/`` on sys.path); installed wheels must pass real files.
+
+``--threads N`` re-runs each file with an N-thread pool (ctypes calls
+release the GIL, so the native decoders genuinely overlap; on a 1-vCPU
+host expect ~no speedup — the number shows dispatch overhead, not
+parallel scaling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as onp
+
+# Synthesized-fixture geometries: big enough that per-call overhead is
+# <1% of decode time, small enough that the pure-Python encoders finish
+# in seconds.  MB/s is size-invariant once past overhead (decode is a
+# linear streaming pass), so these stand in for full frames; --small is
+# the CI smoke geometry.
+GEOM = {
+    "arw": dict(width=2048, height=256),
+    "cr2": dict(visible=(128, 1024), borders=(4, 2), slices=(2, 512)),
+    "nef": dict(size=(128, 1024)),
+    "dng": dict(shape=(2848, 4256)),  # real packed-SID full frame
+}
+GEOM_SMALL = {
+    "arw": dict(width=256, height=32),
+    "cr2": dict(visible=(16, 64), borders=(4, 2), slices=(2, 16)),
+    "nef": dict(size=(16, 64)),
+    "dng": dict(shape=(64, 64)),
+}
+
+
+def synthesize(fmt: str, out_dir: str, small: bool) -> str:
+    """Write one synthetic raw of the given format; returns its path."""
+    rng = onp.random.default_rng(7)
+    geom = (GEOM_SMALL if small else GEOM)[fmt]
+    if fmt == "arw":
+        from tests.arw_fixture import make_arw
+
+        blob, _ = make_arw(rng, **geom)
+        path = os.path.join(out_dir, "bench.ARW")
+    elif fmt == "cr2":
+        from tests.cr2_fixture import make_cr2
+
+        blob, _, _ = make_cr2(rng, **geom)
+        path = os.path.join(out_dir, "bench.CR2")
+    elif fmt == "nef":
+        from tests.nef_fixture import make_nef
+
+        blob, _ = make_nef(rng, **geom)
+        path = os.path.join(out_dir, "bench.NEF")
+    elif fmt == "dng":
+        from tests.tiff_fixture import make_dng
+
+        mosaic = rng.integers(512, 16384, geom["shape"]).astype(onp.uint16)
+        blob = make_dng(mosaic)
+        path = os.path.join(out_dir, "bench.DNG")
+    else:
+        raise ValueError(f"unknown format {fmt}")
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def bench_file(path: str, reps: int, threads: int = 1) -> dict:
+    from eld_tpu.data import rawio
+
+    raw = rawio.imread(path)  # warm the page cache + prove it decodes
+    size = os.path.getsize(path)
+    mpix = raw.mosaic.size / 1e6
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rawio.imread(path)
+    dt = (time.perf_counter() - t0) / reps
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rawio.imread(path).packed()
+    dt_packed = (time.perf_counter() - t0) / reps
+
+    rec = {
+        "file": os.path.basename(path),
+        "format": os.path.splitext(path)[1].lstrip(".").lower(),
+        "native": rawio._LIB is not None,
+        "file_mb": round(size / 1e6, 3),
+        "mosaic_mpix": round(mpix, 3),
+        "decode_ms": round(dt * 1e3, 3),
+        "packed_ms": round(dt_packed * 1e3, 3),
+        "mb_per_s": round(size / 1e6 / dt, 2),
+        "mpix_per_s": round(mpix / dt, 2),
+        "frames_per_s": round(1.0 / dt, 2),
+    }
+    if threads > 1:
+        with ThreadPoolExecutor(threads) as pool:
+            t0 = time.perf_counter()
+            list(pool.map(lambda _: rawio.imread(path), range(reps * threads)))
+            dt_mt = (time.perf_counter() - t0) / (reps * threads)
+        rec["threads"] = threads
+        rec["mt_mb_per_s"] = round(size / 1e6 / dt_mt, 2)
+        rec["mt_frames_per_s"] = round(1.0 / dt_mt, 2)
+    return rec
+
+
+def main(argv=None) -> list:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("files", nargs="*", help="raw files to benchmark; "
+                    "none = synthesize one per native format")
+    ap.add_argument("--formats", default="arw,cr2,nef,dng",
+                    help="formats to synthesize when no files are given")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--threads", type=int, default=1,
+                    help=">1 adds a thread-pool rerun per file")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny CI geometries (smoke only, not a benchmark)")
+    ap.add_argument("--out", help="append JSON records to this file")
+    args = ap.parse_args(argv)
+
+    records = []
+    with tempfile.TemporaryDirectory() as td:
+        paths = list(args.files)
+        if not paths:
+            sys.path.insert(0, os.getcwd())
+            for fmt in args.formats.split(","):
+                t0 = time.perf_counter()
+                paths.append(synthesize(fmt.strip(), td, args.small))
+                print(f"[bench_decode] synthesized {fmt}: "
+                      f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        for path in paths:
+            rec = bench_file(path, args.reps, args.threads)
+            print(f"[bench_decode] {rec['file']}: {rec['mb_per_s']} MB/s, "
+                  f"{rec['mpix_per_s']} Mpix/s, decode {rec['decode_ms']} ms",
+                  file=sys.stderr)
+            records.append(rec)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+    print(json.dumps(records))
+    return records
+
+
+def cli() -> int:
+    main()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,7 @@ def test_every_tool_has_a_cli_wrapper():
     for tool in ("train_syn", "train_real", "test_sid", "test_eld",
                  "build_dataset", "convert_raw", "export_model", "denoise",
                  "vis_data", "demo_synthetic", "validate_pallas",
-                 "bench_variants", "roofline"):
+                 "bench_variants", "bench_decode", "roofline"):
         mod = importlib.import_module(f"eld_tpu.tools.{tool}")
         assert callable(getattr(mod, "cli")), tool
     pyproject = os.path.join(os.path.dirname(__file__), "..",
