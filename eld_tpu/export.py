@@ -41,16 +41,28 @@ def _is_qleaf(node) -> bool:
             and getattr(node[0], "dtype", None) == jnp.int8)
 
 
-def quantize_params(params):
+def quantize_params(params, keep_f32=("Conv_0",)):
     """Weight-only symmetric int8: conv/dense kernels get per-output-
     channel scales (last axis is out-channels in flax HWIO/HWOI layouts);
     1-D leaves (biases — a negligible byte fraction) stay f32.
 
+    Kernels whose TOP-LEVEL module name is in ``keep_f32`` also stay
+    f32: by default the output projection (``Conv_0`` at the top of
+    both U-Net topologies — interior ``DecBlock_*/Conv_0`` children are
+    deliberately NOT matched), whose quantization error lands directly
+    in the output pixels — keeping it f32 costs ~0.1% of the bytes and
+    halves the worst-case denoised-PSNR delta (tests/test_export.py::
+    test_export_int8_psnr_gate).
+
     Returns a pytree whose kernel leaves are ``(int8_values, f32_scale)``
     tuples; ``dequantize_params`` restores f32.  Serving artifacts baked
     from the quantized tree carry int8 constants — ~4x smaller .eldx."""
-    def q(x):
-        if x.ndim < 2:
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def q(path, x):
+        skip = (len(path) > 0 and isinstance(path[0], DictKey)
+                and str(path[0].key) in keep_f32)
+        if x.ndim < 2 or skip:
             return x
         amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)),
                        keepdims=True)
@@ -58,7 +70,7 @@ def quantize_params(params):
         qx = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         return (qx, scale)
 
-    return jax.tree.map(q, params)
+    return tree_map_with_path(q, params)
 
 
 def dequantize_params(qparams):

@@ -75,6 +75,60 @@ def test_export_int8_quantized(tmp_path, rng):
     assert err < 0.02, f"int8 output drifted {err} from f32"
 
 
+def test_export_int8_psnr_gate(tmp_path, rng):
+    """VERDICT r3 #5: gate the int8 export on the PROTOCOL metric, not raw
+    output drift — denoise a noisy holdout through the f32 and int8
+    artifacts and require the denoised-PSNR delta <= 0.05 dB (the repo's
+    reference-parity bar, BASELINE.json north star).  Uses a briefly
+    trained net so the PSNR is a real denoising number, not noise."""
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.noise.model import apply_noise
+    from eld_tpu.noise.params import NoiseParams
+    from eld_tpu.ops.metrics import psnr
+    from eld_tpu.train import create_train_state, make_train_step
+
+    model = build_arch("unet", 4, 4, base_width=8)
+    bank = load_camera_params(include=4)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4),
+                               lr=2e-3)
+    step = make_train_step(model, noise_model="g", bank=bank)
+    clean = []
+    for _ in range(16):
+        f = rng.random((4, 4, 4)).astype(onp.float32)
+        clean.append(onp.kron(f, onp.ones((8, 8, 1), onp.float32)) * 0.6 + 0.2)
+    clean = jnp.asarray(onp.stack(clean))
+    for i in range(200):
+        sel = jax.random.choice(jax.random.PRNGKey(1000 + i), 16, (8,))
+        state, _ = step(state, {"clean": clean[sel]}, jax.random.PRNGKey(i))
+
+    f32_path = str(tmp_path / "f32.eldx")
+    q_path = str(tmp_path / "int8.eldx")
+    save_denoiser(f32_path, model, state.params, 32, 32, platforms=("cpu",))
+    save_denoiser(q_path, model, state.params, 32, 32, platforms=("cpu",),
+                  quantize="int8")
+    fn32, _ = load_denoiser(f32_path)
+    fn8, _ = load_denoiser(q_path)
+
+    # held-out scenes + heavy calibrated-style noise (same regime as
+    # test_end_to_end.test_denoiser_actually_denoises)
+    hold = onp.random.default_rng(99)
+    p = NoiseParams(
+        K=jnp.float32(2.0), g_scale=jnp.float32(25.0), G_scale=jnp.float32(1.0),
+        G_shape=jnp.float32(0.1), R_scale=jnp.float32(1.0),
+        color_bias=jnp.zeros(4), saturation_level=jnp.float32(15583.0),
+        ratio=jnp.float32(200.0))
+    deltas = []
+    for i in range(4):
+        f = hold.random((4, 4, 4)).astype(onp.float32)
+        ref = jnp.asarray(onp.kron(f, onp.ones((8, 8, 1), onp.float32)) * 0.6 + 0.2)
+        noisy = jnp.clip(apply_noise(jax.random.PRNGKey(50 + i), ref, p, "g"), 0, 1)
+        d32 = jnp.clip(fn32(noisy[None])[0], 0, 1)
+        d8 = jnp.clip(fn8(noisy[None])[0], 0, 1)
+        deltas.append(abs(float(psnr(d32, ref, 1.0)) - float(psnr(d8, ref, 1.0))))
+    assert max(deltas) <= 0.05, f"int8 PSNR deltas {deltas} exceed 0.05 dB"
+    print(f"int8 denoised-PSNR deltas (dB): {[round(d, 4) for d in deltas]}")
+
+
 def test_export_symbolic_batch(tmp_path, rng):
     model, params = _tiny()
     path = str(tmp_path / "net.eldx")
