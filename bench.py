@@ -37,9 +37,15 @@ import numpy as onp
 # ("Baseline denominator derivation"); the reference's own torch U-Net
 # measured on this host's CPU anchors the lower bound.
 BASELINE_PATCHES_PER_SEC = 12.0
+# Error band on the estimated denominator (BASELINE.md: 6-20 patches/s at
+# 15-50% era-GPU utilization); vs_baseline_range divides by its ends.
+BASELINE_RANGE = (6.0, 20.0)
 PATCH = 512
 STEPS = 10
 WARMUP = 3
+K_WINDOWS = 5  # median-of-k timed windows per batch (VERDICT r3 #2: the
+# single 10-step window showed ~40% run-to-run spread through the tunnel;
+# the median of 5 windows with MAD reported makes the headline defensible)
 
 # Fail-fast rig (VERDICT r2 weak #2: a wedged TPU-tunnel grant erased the
 # round's perf record — bench hung until the driver's rc=124 kill with
@@ -53,7 +59,10 @@ WARMUP = 3
 PROBE_TIMEOUT_S = 420  # measured claim latency through the tunnel varies
 # ~80-240s day to day (r3: a bare jax.devices() took 3m41s on a healthy
 # chip); 120s misdiagnosed a live TPU as unreachable
-BENCH_DEADLINE_S = 2400
+RETRY_PROBE_TIMEOUT_S = 120  # the post-lock-removal retry only has to
+# beat the instant-abort failure mode, not a slow claim — a short leash
+# keeps worst-case probe wall time at 420+120 s, not 2x420 (ADVICE r3)
+BENCH_DEADLINE_S = 2100
 _partials = {}
 _finished = threading.Event()
 
@@ -99,7 +108,7 @@ def probe_device(timeout_s=PROBE_TIMEOUT_S):
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=timeout_s)
+                timeout=timeout_s if attempt == 0 else RETRY_PROBE_TIMEOUT_S)
         except subprocess.TimeoutExpired:
             return None
         if out.returncode == 0:
@@ -151,25 +160,38 @@ def build(batch, arch=HEADLINE_ARCH):
     return state, step, {"clean": clean}
 
 
-def run(batch, arch=HEADLINE_ARCH):
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def run(batch, arch=HEADLINE_ARCH, k=K_WINDOWS):
+    """Median of k timed 10-step windows; returns {median, mad, windows}.
+
+    The per-window scalar fetch is the timing barrier: block_until_ready
+    alone can return early through this rig's tunneled-TPU platform
+    (measured bogus 3500+ patches/s); a D2H read cannot complete before
+    the value exists.  The median (not min/max/mean) is robust to the
+    tunnel's dispatch-latency spikes in either direction."""
     state, step, data = build(batch, arch)
     for i in range(WARMUP):
         state, m = step(state, data, jax.random.PRNGKey(i))
-    float(m["Pixel"])  # scalar fetch: block_until_ready alone can return
-    # early through this rig's tunneled-TPU platform (measured bogus
-    # 3500+ patches/s); a D2H read cannot complete before the value exists
+    float(m["Pixel"])
 
-    def timed(offset):
-        nonlocal state
+    windows = []
+    for w in range(k):
         t0 = time.perf_counter()
         for i in range(STEPS):
-            state, m = step(state, data, jax.random.PRNGKey(offset + i))
+            state, m = step(state, data, jax.random.PRNGKey(100 * (w + 1) + i))
         float(m["Pixel"])
-        return batch * STEPS / (time.perf_counter() - t0)
-
-    # two passes, report the slower: guards against async-timing artifacts
-    # observed under heavy host contention
-    return min(timed(100), timed(200))
+        windows.append(batch * STEPS / (time.perf_counter() - t0))
+    med = _median(windows)
+    return {
+        "median": med,
+        "mad": _median([abs(x - med) for x in windows]),
+        "windows": [round(x, 2) for x in windows],
+    }
 
 
 def run_eval_fullframe():
@@ -202,12 +224,14 @@ def peak_only():
     and vice versa.  Prints one JSON line {"peak": p/s, "batch": N}."""
     for batch in (128, 64, 32):
         try:
-            peak = run(batch)
+            rec = run(batch)
         except Exception as e:
             print(f"[bench] peak batch {batch} failed: {type(e).__name__}",
                   file=sys.stderr)
             continue
-        print(json.dumps({"peak": round(peak, 2), "batch": batch}))
+        print(json.dumps({"peak": round(rec["median"], 2), "batch": batch,
+                          "mad": round(rec["mad"], 2),
+                          "windows": rec["windows"]}))
         return
     print(json.dumps({}))
 
@@ -225,11 +249,11 @@ def measure_peak_subprocess():
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         if "peak" in rec:
             print(f"[bench] peak batch {rec['batch']}: {rec['peak']:.2f} "
-                  "patches/s", file=sys.stderr)
-            return rec["peak"], rec["batch"]
+                  f"patches/s (mad {rec.get('mad')})", file=sys.stderr)
+            return rec
     except Exception as e:
         print(f"[bench] peak subprocess failed: {type(e).__name__}", file=sys.stderr)
-    return None, None
+    return None
 
 
 def main():
@@ -248,26 +272,38 @@ def main():
     print(f"[bench] device probe ok: platform={platform}", file=sys.stderr)
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    peak, peak_batch = measure_peak_subprocess()
-    if peak is not None:
-        _partials["peak_patches_per_sec"] = round(peak, 2)
-        _partials["peak_batch"] = peak_batch
+    peak_rec = measure_peak_subprocess()
+    if peak_rec is not None:
+        _partials["peak_patches_per_sec"] = round(peak_rec["peak"], 2)
+        _partials["peak_batch"] = peak_rec["batch"]
+    # Headline = the best MEDIAN over the quality-validated batch region
+    # (the equal-wall ratio-sweep gates cap production at per-chip batch
+    # 16 — BASELINE.md round-2 batch scan), picked from the measured curve
+    # rather than asserted at a fixed batch (VERDICT r3 #2).
     best = 0.0
+    curve = {}
+    headline = None
     for batch in (16, 8, 4, 2, 1):
         try:
-            pps = run(batch)
+            rec = run(batch)
         except Exception as e:  # OOM or compile failure at this batch
             print(f"[bench] batch {batch} failed: {type(e).__name__}", file=sys.stderr)
             continue
-        print(f"[bench] batch {batch}: {pps:.2f} patches/s", file=sys.stderr)
-        best = max(best, pps)
+        pps = rec["median"]
+        print(f"[bench] batch {batch}: {pps:.2f} patches/s "
+              f"(mad {rec['mad']:.2f}, windows {rec['windows']})",
+              file=sys.stderr)
+        curve[str(batch)] = round(pps, 2)
+        if pps > best:
+            best, headline = pps, dict(rec, batch=batch)
         _partials["best"] = round(best, 2)
         if pps < best * 0.7:  # past the knee, stop scanning
             break
     try:
         parity = run(16, arch="unet")
-        print(f"[bench] parity unet batch 16: {parity:.2f} patches/s", file=sys.stderr)
-        _partials["parity_unet_patches_per_sec"] = round(parity, 2)
+        print(f"[bench] parity unet batch 16: {parity['median']:.2f} "
+              f"patches/s (mad {parity['mad']:.2f})", file=sys.stderr)
+        _partials["parity_unet_patches_per_sec"] = round(parity["median"], 2)
     except Exception as e:
         print(f"[bench] parity unet failed: {type(e).__name__}", file=sys.stderr)
         parity = None
@@ -283,14 +319,23 @@ def main():
         "value": round(best, 2),
         "unit": "patches/sec/chip",
         "vs_baseline": round(best / BASELINE_PATCHES_PER_SEC, 2),
+        # denominator is an estimate; the band divides by its 6-20 p/s ends
+        "vs_baseline_range": [round(best / BASELINE_RANGE[1], 2),
+                              round(best / BASELINE_RANGE[0], 2)],
         "arch": HEADLINE_ARCH,
         "platform": platform,
+        "batch_curve": curve,
     }
-    if peak is not None:
-        record["peak_patches_per_sec"] = round(peak, 2)
-        record["peak_batch"] = peak_batch
+    if headline is not None:
+        record["headline_batch"] = headline["batch"]
+        record["headline_mad"] = round(headline["mad"], 2)
+        record["headline_windows"] = headline["windows"]
+    if peak_rec is not None:
+        record["peak_patches_per_sec"] = round(peak_rec["peak"], 2)
+        record["peak_batch"] = peak_rec["batch"]
     if parity is not None:
-        record["parity_unet_patches_per_sec"] = round(parity, 2)
+        record["parity_unet_patches_per_sec"] = round(parity["median"], 2)
+        record["parity_unet_mad"] = round(parity["mad"], 2)
     if eval_fps is not None:
         record["eval_fullframe_fps"] = round(eval_fps, 2)
     _finished.set()
