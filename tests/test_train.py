@@ -195,3 +195,138 @@ def test_all_hosts_agree_single_process():
     assert all_hosts_agree(True)
     assert not all_hosts_agree(False)
     assert all_hosts_agree({"nonempty": 1})  # truthiness semantics
+
+
+# ---------------------------------------------------------------------------
+# make_train_scan: K fused steps per dispatch over a device-resident pool
+# ---------------------------------------------------------------------------
+
+
+def test_train_scan_reduces_loss_and_counts_steps(small_model, bank, rng):
+    from eld_tpu.train.steps import make_train_scan
+
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    fn = make_train_scan(small_model, noise_model="pg", bank=bank,
+                         batch=4, steps_per_call=5, donate=False)
+    pool = {"clean": jnp.asarray(rng.random((12, 32, 32, 4), dtype=onp.float32))}
+    state, m0 = fn(state, pool, jax.random.PRNGKey(1))
+    for i in range(2, 8):
+        state, m = fn(state, pool, jax.random.PRNGKey(i))
+    assert int(state.step) == 35
+    assert float(m["Pixel"]) < float(m0["Pixel"])
+    assert onp.isfinite(float(m["PixelLast"]))
+
+
+def test_train_scan_deterministic(small_model, bank, rng):
+    from eld_tpu.train.steps import make_train_scan
+
+    pool = {"clean": jnp.asarray(rng.random((6, 32, 32, 4), dtype=onp.float32))}
+    fn = make_train_scan(small_model, noise_model="pg", bank=bank,
+                         batch=2, steps_per_call=3, donate=False)
+    outs = []
+    for _ in range(2):
+        state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+        state, m = fn(state, pool, jax.random.PRNGKey(7))
+        outs.append((state, float(m["Pixel"])))
+    assert outs[0][1] == outs[1][1]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0].params),
+                    jax.tree_util.tree_leaves(outs[1][0].params)):
+        onp.testing.assert_array_equal(onp.asarray(a), onp.asarray(b))
+
+
+def test_train_scan_paired_mode(small_model, rng):
+    from eld_tpu.train.steps import make_train_scan
+
+    clean = rng.random((8, 32, 32, 4), dtype=onp.float32)
+    pool = {
+        "input": jnp.asarray(onp.clip(clean + 0.1 * rng.standard_normal(clean.shape), 0, 1),
+                             jnp.float32),
+        "target": jnp.asarray(clean),
+    }
+    state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    fn = make_train_scan(small_model, loss="l2", batch=4, steps_per_call=4,
+                         donate=False)
+    state, m0 = fn(state, pool, jax.random.PRNGKey(1))
+    for i in range(2, 6):
+        state, m = fn(state, pool, jax.random.PRNGKey(i))
+    assert float(m["Pixel"]) < float(m0["Pixel"])
+
+
+def test_train_scan_u16_pool_matches_f32(small_model, bank, rng):
+    """uint16 pools (half the HBM) must train bit-identically to the f32
+    pool holding the same normalized values (same reciprocal constant)."""
+    from eld_tpu.train.steps import make_train_scan
+
+    u16 = rng.integers(0, 65536, (6, 32, 32, 4)).astype(onp.uint16)
+    f32 = u16.astype(onp.float32) / 65535.0
+    fn = make_train_scan(small_model, noise_model="pg", bank=bank,
+                         batch=2, steps_per_call=3, donate=False)
+    results = []
+    for pool in ({"clean": jnp.asarray(u16)}, {"clean": jnp.asarray(f32)}):
+        state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+        state, m = fn(state, pool, jax.random.PRNGKey(3))
+        results.append(state)
+    for a, b in zip(jax.tree_util.tree_leaves(results[0].params),
+                    jax.tree_util.tree_leaves(results[1].params)):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-7)
+
+
+def test_train_scan_mesh_matches_single_device(small_model, bank, rng):
+    """The scanned trainer under an 8-way data mesh == single-device."""
+    from eld_tpu.train.steps import make_train_scan
+
+    pool_np = rng.random((16, 32, 32, 4), dtype=onp.float32)
+    key = jax.random.PRNGKey(11)
+
+    state1 = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    fn1 = make_train_scan(small_model, noise_model="pg", bank=bank,
+                          batch=8, steps_per_call=3, donate=False)
+    s1, m1 = fn1(state1, {"clean": jnp.asarray(pool_np)}, key)
+
+    mesh = make_mesh(MeshSpec(data=8))
+    state8 = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    fn8 = make_train_scan(small_model, noise_model="pg", bank=bank,
+                          batch=8, steps_per_call=3, mesh=mesh)
+    s8, m8 = fn8(state8, {"clean": jnp.asarray(pool_np)}, key)
+
+    assert float(m1["Pixel"]) == pytest.approx(float(m8["Pixel"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-5)
+
+
+def test_augment_batch_covers_dihedral_orbit(rng):
+    """Every augmented row is one of the 8 flip/transpose images of its
+    source row, all arrays transformed jointly, and over many draws more
+    than one variant occurs (it actually randomizes)."""
+    from eld_tpu.train.steps import _augment_batch
+
+    x = jnp.asarray(rng.random((16, 8, 8, 2), dtype=onp.float32))
+    y = x[:, :, :, :1] * 2.0
+    xa, ya = _augment_batch(jax.random.PRNGKey(0), x, y)
+    xa, ya, xn = onp.asarray(xa), onp.asarray(ya), onp.asarray(x)
+
+    def orbit(img):
+        outs = []
+        for f0 in (False, True):
+            for f1 in (False, True):
+                for t in (False, True):
+                    v = img
+                    if f0:
+                        v = v[::-1]
+                    if f1:
+                        v = v[:, ::-1]
+                    if t:
+                        v = v.transpose(1, 0, 2)
+                    outs.append(v)
+        return outs
+
+    seen = set()
+    for i in range(16):
+        matches = [k for k, v in enumerate(orbit(xn[i])) if onp.array_equal(xa[i], v)]
+        assert matches, f"row {i} is not a dihedral image of its source"
+        # the paired array got the SAME transform
+        assert any(onp.array_equal(ya[i], v)
+                   for v in orbit(onp.asarray(y)[i]))
+        seen.update(matches)
+    assert len(seen) > 1
