@@ -182,3 +182,29 @@ def prefetch_to_device(iterator, mesh, size: int = 2, filter_arrays: bool = True
             queue.append(put(next(it)))
         except StopIteration:
             pass
+
+
+def pool_to_device(store, mesh=None, size: Optional[int] = None):
+    """Load an entire patch store to the device as one (P, H, W, C) array.
+
+    The scanned trainer (``train.steps.make_train_scan``) samples batches
+    on device, so the whole clean set ships ONCE — as raw uint16 (half the
+    bytes of f32; the train step normalizes on device with the same
+    reciprocal constant as ``PatchStore.__getitem__``).  The SID clean set
+    (1288 x 512^2 x 4ch u16) is ~2.7 GB: comfortable in one chip's HBM
+    next to the model.
+
+    With ``mesh`` the pool lands replicated (every data shard samples from
+    the full set, like every DataLoader worker sees the full dataset).
+    """
+    import jax
+
+    n = min(size, len(store)) if size else len(store)
+    # record() keeps the stored dtype (batch() would promote to f32 and
+    # quadruple both the transfer and the pool's HBM footprint)
+    recs = onp.stack([store.record(i) for i in range(n)])
+    if mesh is not None:
+        from eld_tpu.parallel.mesh import replicated
+
+        return jax.device_put(recs, replicated(mesh))
+    return jax.device_put(recs)

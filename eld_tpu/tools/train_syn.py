@@ -48,6 +48,10 @@ def main(argv=None, extra=None):
     pre.add_argument("--epochs", type=int, default=200)
     pre.add_argument("--offline_noise", action="store_true")
     pre.add_argument("--eval_every", type=int, default=20)
+    pre.add_argument("--scan", type=int, default=0, metavar="K",
+                     help="fast path: keep the whole clean set in HBM and "
+                          "run K optimizer steps per XLA launch (zero host "
+                          "round-trips; train.steps.make_train_scan)")
     ns, rest = pre.parse_known_args(argv)
     cfg = config_mod.parse(rest, train=True)
 
@@ -112,9 +116,26 @@ def main(argv=None, extra=None):
     print(f"[i] using noise model {cfg.noise!r} (on-device)" if cfg.noise
           else "[i] paired mode (pre-baked noise)")
 
+    pool = None
+    if ns.scan > 0:
+        if shard != (0, 1):
+            raise SystemExit("--scan is single-controller; drop --multihost")
+        from eld_tpu.data.loader import pool_to_device
+
+        if ns.offline_noise:
+            # stores already virtualize --max_dataset_size
+            pool = {"input": pool_to_device(noisy, engine.mesh),
+                    "target": pool_to_device(target, engine.mesh)}
+        else:
+            pool = {"clean": pool_to_device(store, engine.mesh)}
+        steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+
     while engine.epoch < ns.epochs:
         engine.set_learning_rate(lr_for_epoch(engine.epoch))
-        engine.train(train_loader)
+        if pool is not None:
+            engine.train_pool(pool, steps_per_epoch, steps_per_call=ns.scan)
+        else:
+            engine.train(train_loader)
         if engine.epoch % ns.eval_every == 0 and eval_loaders:
             try:
                 engine.eval(eval_loaders[100], dataset_name="sid_eval_100", correct=True)

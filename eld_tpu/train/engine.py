@@ -245,6 +245,75 @@ class Engine:
             print(f"Time Taken: {int(time.time() - t0)} sec")
         return meters
 
+    def train_pool(self, pool, steps: int, steps_per_call: int = 10):
+        """One training "epoch" of ``steps`` optimizer steps over a
+        device-resident patch pool — the scanned fast path.
+
+        ``pool`` is ``{"clean": (P,H,W,C)}`` (or ``{"input","target"}``
+        for paired data), already on device (``data.loader.pool_to_device``).
+        Batches are sampled, augmented, noised, and stepped entirely inside
+        ``steps_per_call``-long ``lax.scan`` launches (steps.make_train_scan)
+        — zero host round-trips between optimizer steps.
+
+        Key threading matches ``train``: per-launch key = f(seed, host_step),
+        so resume reproduces the noise/pick stream — provided
+        ``steps_per_call`` is unchanged across the resume.
+        """
+        cfg = self.cfg
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "train_pool is single-controller for now; use train(loader) "
+                "with --multihost on pods")
+        print(f"\nEpoch: {self.epoch} (lr {get_learning_rate(self.state):.2e}, "
+              f"scan x{steps_per_call})")
+        from eld_tpu.train.steps import make_train_scan
+
+        key_sc = (steps_per_call, cfg.batch_size)
+        if getattr(self, "_train_scan_key", None) != key_sc:
+            synthetic = cfg.noise not in (None, "", "none")
+            self._train_scan = make_train_scan(
+                self.model, loss=cfg.loss,
+                noise_model=cfg.noise if synthetic else None,
+                bank=self.bank, k_mode=cfg.k_mode,
+                batch=cfg.batch_size, steps_per_call=steps_per_call,
+                mesh=self._step_mesh,
+                donate=self._step_mesh is None,
+            )
+            self._train_scan_key = key_sc
+
+        meters = AverageMeters()
+        t0 = time.time()
+        host_step = self.iterations
+        n_calls = max(1, -(-steps // steps_per_call))
+        pending = None  # one-launch-delayed metric drain (see train())
+
+        def drain(i, metrics, step_idx):
+            self.throughput.tick(cfg.batch_size * steps_per_call)
+            meters.update({k: float(v) for k, v in metrics.items()})
+            progress(i, n_calls, f"{meters} | "
+                     f"{self.throughput.items_per_sec:.1f} patches/s", every=1)
+            if self.writer is not None:
+                write_loss(self.writer, "train", meters, step_idx)
+
+        for i in range(n_calls):
+            sub = jax.random.fold_in(self._key, host_step)
+            self.state, metrics = self._train_scan(self.state, pool, sub)
+            host_step += steps_per_call
+            if pending is not None:
+                drain(*pending)
+            pending = (i, metrics, host_step)
+        if pending is not None:
+            drain(*pending)
+
+        self.state = self.state.replace(epoch=self.state.epoch + 1)
+        if not cfg.no_log:
+            if self.epoch % cfg.save_epoch_freq == 0:
+                print(f"saving the model at epoch {self.epoch}, iters {self.iterations}")
+                self.save()
+            self.save(label="latest")
+            print(f"Time Taken: {int(time.time() - t0)} sec")
+        return meters
+
     # ---- evaluation ----
     def _to_srgb(self, x4, wb, ccm):
         """(N,H,W,4) raw -> (N,H,W,3) sRGB with shared or per-item wb/ccm."""

@@ -457,3 +457,24 @@ def test_pod_eval_skips_loading_other_hosts_items(tmp_path, clean_store, rng, mo
     res = eng.eval(loader, dataset_name="x", correct=True, crop=False)
     assert fetched == [1, 3, 5]          # only this rank's stride
     assert onp.isfinite(res["PSNR"])
+
+
+def test_engine_train_pool_scan_path(tmp_path, clean_store):
+    """train_pool: scanned epochs advance counters, drop the loss, save
+    checkpoints, and resume onto the same step count."""
+    import jax
+
+    from eld_tpu.data.loader import pool_to_device
+
+    cfg = small_cfg(tmp_path)
+    engine = Engine(cfg)
+    pool = {"clean": pool_to_device(PatchStore(clean_store), engine.mesh)}
+    assert pool["clean"].dtype == jax.numpy.uint16  # raw records, not f32
+
+    m0 = engine.train_pool(pool, steps=6, steps_per_call=3)
+    assert engine.epoch == 1
+    assert engine.iterations == 6
+    for _ in range(3):
+        m = engine.train_pool(pool, steps=6, steps_per_call=3)
+    assert engine.iterations == 24
+    assert m["Pixel"] < m0["Pixel"]
