@@ -140,7 +140,14 @@ def main(argv=None):
                    help="apply the reference's step schedule scaled to the "
                         "budget: x0.5 at 50%% and x0.1 at 90%% of steps "
                         "(train_syn.py:99-105, epochs 100/180 of 200)")
+    p.add_argument("--scan", type=int, default=0, metavar="K",
+                   help="run K optimizer steps per XLA launch via "
+                        "make_train_scan (picks/augment/noise/update all "
+                        "on device) instead of one launch per step")
     ns = p.parse_args(argv)
+    if ns.scan and ns.lr_decay:
+        sys.exit("--scan and --lr_decay are mutually exclusive (the LR step "
+                 "would land mid-launch); use train_syn for scheduled runs")
 
     rng = onp.random.default_rng(ns.seed)
     if ns.n_train * ns.size * ns.size * 16 > 2 ** 27:  # >128 MB of clean f32
@@ -180,16 +187,39 @@ def main(argv=None):
 
     # warm up (compile) outside the timed region, like bench.py
     m = {"Pixel": 0.0}
-    if ns.steps > 0:
+    if ns.scan > 0:
+        from eld_tpu.train.steps import make_train_scan
+
+        scan_fn = make_train_scan(model, noise_model=ns.noise, bank=bank,
+                                  batch=ns.batch, steps_per_call=ns.scan)
+        pool = {"clean": train_clean}
+        n_calls = max(ns.steps // ns.scan, 1)
+        state, m = scan_fn(state, pool, jax.random.fold_in(base, 0))
+        jax.block_until_ready(m["Pixel"])
+        t0 = time.perf_counter()
+        for i in range(1, n_calls):
+            state, m = scan_fn(state, pool, jax.random.fold_in(base, i))
+            if (i * ns.scan) % 100 < ns.scan:
+                print(f"step {i * ns.scan}: loss {float(m['Pixel']):.4f}",
+                      file=sys.stderr)
+        jax.block_until_ready(m["Pixel"])
+        train_time = max(time.perf_counter() - t0, 1e-9)
+        timed_patches = max(n_calls - 1, 0) * ns.scan * ns.batch
+    elif ns.steps > 0:
         state, m = run_step(0, state)
         jax.block_until_ready(m["Pixel"])
-    t0 = time.perf_counter()
-    for i in range(1, ns.steps):
-        state, m = run_step(i, state)
-        if i % 100 == 0:
-            print(f"step {i}: loss {float(m['Pixel']):.4f}", file=sys.stderr)
-    jax.block_until_ready(m["Pixel"])
-    train_time = max(time.perf_counter() - t0, 1e-9)
+        t0 = time.perf_counter()
+        for i in range(1, ns.steps):
+            state, m = run_step(i, state)
+            if i % 100 == 0:
+                print(f"step {i}: loss {float(m['Pixel']):.4f}", file=sys.stderr)
+        jax.block_until_ready(m["Pixel"])
+        train_time = max(time.perf_counter() - t0, 1e-9)
+        timed_patches = max(ns.steps - 1, 0) * ns.batch
+    else:
+        t0 = time.perf_counter()
+        train_time = 1e-9
+        timed_patches = 0
 
     # held-out denoising gain at fixed mid/heavy ELD-like levels
     fwd = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
@@ -213,8 +243,8 @@ def main(argv=None):
                       "gain_db": round(onp.mean(gs), 2)}
 
     result = {
-        "arch": ns.arch, "steps": ns.steps,
-        "train_patches_per_sec": round(max(ns.steps - 1, 0) * ns.batch / train_time, 1),
+        "arch": ns.arch, "steps": ns.steps, "scan": ns.scan,
+        "train_patches_per_sec": round(timed_patches / train_time, 1),
         "final_loss": round(float(m["Pixel"]), 4),
         **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},
     }
