@@ -84,7 +84,8 @@ def _diagnostic_record(error):
         "error": error,
     }
     for k in ("peak_patches_per_sec", "peak_batch",
-              "parity_unet_patches_per_sec", "eval_fullframe_fps"):
+              "parity_unet_patches_per_sec", "scan_patches_per_sec",
+              "eval_fullframe_fps"):
         if k in _partials:
             rec[k] = _partials[k]
     return rec
@@ -192,6 +193,46 @@ def run(batch, arch=HEADLINE_ARCH, k=K_WINDOWS):
         "mad": _median([abs(x - med) for x in windows]),
         "windows": [round(x, 2) for x in windows],
     }
+
+
+def run_scan(batch=16, steps_per_call=10, pool_size=64, k=K_WINDOWS):
+    """Scanned-trainer throughput (patches/s): the production
+    Engine.train_pool path — per-step patch picks from a device-resident
+    pool, augmentation, noise synthesis, and the optimizer update fused
+    into ONE lax.scan launch per ``steps_per_call`` steps (train/steps.py::
+    make_train_scan).  Reported alongside the headline, not as it: the
+    headline keeps measuring the one-launch-per-step make_train_step for
+    series comparability (VERDICT r3 weak #4 — no silent headline drift).
+
+    The pool is generated ON DEVICE (uint16, the production dtype) so the
+    measurement stays on the compute path even through this rig's ~25MB/s
+    host->device tunnel."""
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.train import create_train_state
+    from eld_tpu.train.steps import make_train_scan
+
+    model = build_arch(HEADLINE_ARCH, 4, 4, dtype=jnp.bfloat16)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, PATCH, PATCH, 4))
+    fn = make_train_scan(model, loss="l1", noise_model="eld", bank=bank,
+                         batch=batch, steps_per_call=steps_per_call,
+                         donate=True)
+    pool = {"clean": jax.jit(
+        lambda k: (jax.random.uniform(k, (pool_size, PATCH, PATCH, 4))
+                   * 65535.0).astype(jnp.uint16))(jax.random.PRNGKey(7))}
+    state, m = fn(state, pool, jax.random.PRNGKey(0))  # compile
+    float(m["Pixel"])
+    windows = []
+    for w in range(k):
+        t0 = time.perf_counter()
+        state, m = fn(state, pool, jax.random.PRNGKey(w + 1))
+        float(m["Pixel"])
+        windows.append(batch * steps_per_call / (time.perf_counter() - t0))
+    med = _median(windows)
+    return {"median": med,
+            "mad": _median([abs(x - med) for x in windows]),
+            "windows": [round(x, 2) for x in windows]}
 
 
 def run_eval_fullframe():
@@ -308,6 +349,15 @@ def main():
         print(f"[bench] parity unet failed: {type(e).__name__}", file=sys.stderr)
         parity = None
     try:
+        scan = run_scan()
+        print(f"[bench] scanned trainer batch 16 x10: {scan['median']:.2f} "
+              f"patches/s (mad {scan['mad']:.2f}, windows {scan['windows']})",
+              file=sys.stderr)
+        _partials["scan_patches_per_sec"] = round(scan["median"], 2)
+    except Exception as e:
+        print(f"[bench] scanned trainer failed: {type(e).__name__}", file=sys.stderr)
+        scan = None
+    try:
         eval_fps = run_eval_fullframe()
         print(f"[bench] full-frame eval: {eval_fps:.2f} frames/s", file=sys.stderr)
         _partials["eval_fullframe_fps"] = round(eval_fps, 2)
@@ -336,6 +386,9 @@ def main():
     if parity is not None:
         record["parity_unet_patches_per_sec"] = round(parity["median"], 2)
         record["parity_unet_mad"] = round(parity["mad"], 2)
+    if scan is not None:
+        record["scan_patches_per_sec"] = round(scan["median"], 2)
+        record["scan_mad"] = round(scan["mad"], 2)
     if eval_fps is not None:
         record["eval_fullframe_fps"] = round(eval_fps, 2)
     _finished.set()
