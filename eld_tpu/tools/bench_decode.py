@@ -98,15 +98,19 @@ def bench_file(path: str, reps: int, threads: int = 1) -> dict:
     size = os.path.getsize(path)
     mpix = raw.mosaic.size / 1e6
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        rawio.imread(path)
-    dt = (time.perf_counter() - t0) / reps
+    # min-of-reps: mean timing on a contended 1-vCPU host lets scheduler
+    # noise invert even the packed >= decode ordering; the minimum is the
+    # least-interfered observation and the standard for latency microbench
+    def best(fn):
+        lo = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            lo = min(lo, time.perf_counter() - t0)
+        return lo
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        rawio.imread(path).packed()
-    dt_packed = (time.perf_counter() - t0) / reps
+    dt = best(lambda: rawio.imread(path))
+    dt_packed = best(lambda: rawio.imread(path).packed())
 
     rec = {
         "file": os.path.basename(path),
