@@ -61,7 +61,10 @@ class Config:
     mesh_spatial: int = 1
     bf16: bool = False         # bf16 compute dtype (params stay f32)
     remat: bool = False        # rematerialize U-Net levels
-    skip_mode: str = "concat"  # "split": concat-free decoder (exact reparam)
+    skip_mode: str = "split"   # concat-free decoder (exact reparam of the
+                               # same checkpoint); measured +12.3% full-frame
+                               # eval fps / +2.7% train on the real TPU
+                               # (BASELINE.md round-4 sweep) vs "concat"
     skip_bf16: bool = False    # store U-Net skip activations in bf16 (halves
                                # their HBM traffic; ~3e-3 forward delta on f32)
     upsample: str = "convt"    # "d2s": 1x1-conv + depth-to-space (exact reparam)
@@ -119,7 +122,7 @@ def _add_flags(p: argparse.ArgumentParser, train: bool):
     t.add_argument("--mesh_spatial", type=int, default=1)
     t.add_argument("--bf16", action="store_true")
     t.add_argument("--remat", action="store_true")
-    t.add_argument("--skip_mode", type=str, default="concat",
+    t.add_argument("--skip_mode", type=str, default="split",
                    choices=["concat", "split"])
     t.add_argument("--skip_bf16", action="store_true")
     t.add_argument("--upsample", type=str, default="convt",

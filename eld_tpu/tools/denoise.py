@@ -106,11 +106,11 @@ def main(argv=None):
     p.add_argument("--base_width", type=int, default=32)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--skip_mode", choices=["concat", "split"],
-                   default="concat",
-                   help="decoder skip handling; 'split' is an exact "
-                        "re-parameterization that cuts full-frame HBM "
-                        "traffic 11.4%% on the XLA:TPU cost model "
-                        "(BASELINE.md round-3 sweep)")
+                   default="split",
+                   help="decoder skip handling; 'split' (default) is an "
+                        "exact re-parameterization of the same checkpoint "
+                        "measured at 21.34 vs 19.01 full-frame fps on the "
+                        "real TPU (+12.3%%, BASELINE.md round-4 sweep)")
     p.add_argument("--upsample", choices=["convt", "d2s"], default="convt")
     p.add_argument("--chop", action="store_true",
                    help="4-tile chopped forward (checkpoint path only; "
@@ -141,7 +141,7 @@ def main(argv=None):
 
         baked = {"--chop": ns.chop, "--arch": ns.arch != "unet",
                  "--base_width": ns.base_width != 32, "--bf16": ns.bf16,
-                 "--skip_mode": ns.skip_mode != "concat",
+                 "--skip_mode": ns.skip_mode != "split",
                  "--upsample": ns.upsample != "convt"}
         wrong = [k for k, v in baked.items() if v]
         if wrong:

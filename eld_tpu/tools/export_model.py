@@ -34,10 +34,10 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute inside the artifact (params stay f32)")
     p.add_argument("--skip_mode", choices=["concat", "split"],
-                   default="concat",
-                   help="'split' (exact re-parameterization, same "
-                        "checkpoint) cuts full-frame HBM traffic 11.4%% "
-                        "on the XLA:TPU cost model — see BASELINE.md")
+                   default="split",
+                   help="'split' (default; exact re-parameterization, same "
+                        "checkpoint) measured +12.3%% full-frame fps on the "
+                        "real TPU vs 'concat' — see BASELINE.md round-4 sweep")
     p.add_argument("--upsample", choices=["convt", "d2s"], default="convt")
     p.add_argument("--platforms", type=str, default="tpu,cpu")
     p.add_argument("--static_batch", action="store_true",

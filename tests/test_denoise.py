@@ -181,9 +181,10 @@ def test_denoise_cli_from_artifact_and_dir(tmp_path):
     assert load_png(res4[0]["output"]).shape == (24, 32, 3)
 
     # model/arch flags are baked into artifacts -> explicit error
+    # (concat is the non-default since the round-4 measured flip to split)
     with pytest.raises(SystemExit):
         main(["--input", str(d), "--ratio", "100", "--artifact", art,
-              "--skip_mode", "split", "--out", out])
+              "--skip_mode", "concat", "--out", out])
 
     # a fully-saturated input (bright frame x huge ratio) must fall back
     # to the uncorrected output, not serve NaN-black images
