@@ -141,6 +141,7 @@ def test_collective_bytes_parsing():
         1000 * 4 + (100 + 300) * 4 + 1024 * 4 + 512 * 2)
 
 
+@pytest.mark.slow
 def test_spatial_eval_record_compiles_for_v5e():
     """The spatially-sharded full-frame eval compiles for real v5e chips;
     with a replicated input and the output left sharded it needs ZERO

@@ -26,6 +26,7 @@ def _smooth_images(rng, n, size=32):
     return onp.stack(xs)
 
 
+@pytest.mark.slow
 def test_denoiser_actually_denoises(rng):
     """Train briefly on 'g' noise over smooth images; the net must beat
     the identity (PSNR of denoised > PSNR of noisy input) on held-out data.
@@ -59,6 +60,7 @@ def test_denoiser_actually_denoises(rng):
     assert onp.mean(gains) > 1.0, f"PSNR gains {gains}"
 
 
+@pytest.mark.slow
 def test_xtrans_pipeline(rng, tmp_path):
     """9-channel X-Trans path: pack -> noise -> U-Net -> loss."""
     from eld_tpu.core.packing import pack_xtrans
@@ -157,6 +159,7 @@ def test_eld_eval_cli(tmp_path, rng):
     assert onp.isfinite(results[("CanonEOS70D", "x100")]["PSNR"])
 
 
+@pytest.mark.slow
 def test_roofline_cli_static():
     """tools/roofline --no-run: static cost analysis only — reports
     FLOPs/bytes/intensity and the bandwidth floor without touching

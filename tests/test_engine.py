@@ -33,6 +33,7 @@ def small_cfg(tmp_path, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_engine_train_eval_cycle(tmp_path, clean_store, rng):
     cfg = small_cfg(tmp_path)
     engine = Engine(cfg)
@@ -68,6 +69,7 @@ def test_eval_batch_matches_per_item(tmp_path, clean_store, rng):
         assert batched[k] == pytest.approx(onp.mean([s[k] for s in singles]), abs=1e-4)
 
 
+@pytest.mark.slow
 def test_engine_checkpoint_roundtrip(tmp_path, clean_store):
     cfg = small_cfg(tmp_path, no_log=False)
     engine = Engine(cfg)
@@ -165,6 +167,7 @@ def test_engine_png_dumps(tmp_path, clean_store, rng):
     assert len(files) == 3
 
 
+@pytest.mark.slow
 def test_train_syn_cli_smoke(tmp_path, clean_store, rng, monkeypatch):
     """The flagship CLI end-to-end on fixture data (2 epochs)."""
     traindir = tmp_path / "Train"
@@ -214,6 +217,7 @@ def test_async_checkpoint(tmp_path, clean_store):
     assert engine2.iterations == engine.iterations
 
 
+@pytest.mark.slow
 def test_resume_is_bit_deterministic(tmp_path, clean_store):
     """Uninterrupted training == save/restore/continue, parameter-exact.
 
@@ -459,6 +463,7 @@ def test_pod_eval_skips_loading_other_hosts_items(tmp_path, clean_store, rng, mo
     assert onp.isfinite(res["PSNR"])
 
 
+@pytest.mark.slow
 def test_engine_train_pool_scan_path(tmp_path, clean_store):
     """train_pool: scanned epochs advance counters, drop the loss, save
     checkpoints, and resume onto the same step count."""

@@ -40,6 +40,7 @@ def test_export_roundtrip_matches_apply(tmp_path, rng):
                                 atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_export_int8_quantized(tmp_path, rng):
     """Weight-only int8 export: ~4x smaller artifact, output close to the
     f32 export (per-output-channel symmetric scales), dequantize is the
@@ -75,6 +76,7 @@ def test_export_int8_quantized(tmp_path, rng):
     assert err < 0.02, f"int8 output drifted {err} from f32"
 
 
+@pytest.mark.slow
 def test_export_int8_psnr_gate(tmp_path, rng):
     """VERDICT r3 #5: gate the int8 export on the PROTOCOL metric, not raw
     output drift — denoise a noisy holdout through the f32 and int8
@@ -169,6 +171,7 @@ def test_artifact_is_inspectable_zip(tmp_path):
     assert read_meta(path)["height"] == 32
 
 
+@pytest.mark.slow
 def test_export_cli_from_checkpoint(tmp_path, rng):
     """CLI end-to-end: orbax checkpoint -> .eldx -> serve."""
     from eld_tpu.tools.export_model import main

@@ -478,6 +478,7 @@ def _our_eld_eval(eld_root, pt_path, tmp):
 @pytest.mark.parametrize("chop,stage_eval", [
     (False, "raw"), (True, "raw"), (False, "srgb"),
 ], ids=["plain", "chop", "srgb"])
+@pytest.mark.slow
 def test_composed_eval_protocol_parity(ref, sid_dir, pt_checkpoint,
                                        tmp_path, chop, stage_eval):
     theirs = _ref_eval(ref, sid_dir, pt_checkpoint, chop, stage_eval)

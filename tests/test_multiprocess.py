@@ -111,6 +111,7 @@ def test_process0_owns_logs_and_checkpoints_exist(mp_results):
     assert r0["ckpts"] == r1["ckpts"]  # shared dir, one checkpoint set
 
 
+@pytest.mark.slow
 def test_multiprocess_params_match_single_process(mp_results):
     """Replay the pod's exact global batches single-process; trained
     params must match the 2-process run (same data, same noise keys)."""

@@ -162,6 +162,7 @@ def test_color_bias():
     onp.testing.assert_allclose(dn[0, 0], cb, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_eld_model_runs_and_clips():
     bank = load_camera_params()
     assert expand_model("eld") == "PGrqc"

@@ -43,6 +43,7 @@ def test_spatial_unet_runs(rng):
     assert onp.abs(got - want).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_full_frame_sid_geometry(rng):
     """Eval-path proof at the REAL SID full-frame geometry (1424x2128x4,
     the packed Sony A7S2 frame): both scaling strategies — halo-sharded

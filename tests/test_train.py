@@ -29,6 +29,7 @@ def bank():
     return load_camera_params(include=4)
 
 
+@pytest.mark.slow
 def test_synthetic_training_reduces_loss(small_model, bank, rng):
     state = create_train_state(small_model, jax.random.PRNGKey(0), (1, 32, 32, 4))
     step = make_train_step(small_model, noise_model="pg", bank=bank)
@@ -62,6 +63,7 @@ def test_lr_schedule_injection(small_model):
     assert get_learning_rate(state) == pytest.approx(5e-5)
 
 
+@pytest.mark.slow
 def test_mesh_dp_matches_single_device(small_model, bank, rng):
     """8-way data parallel step == single-device step on the same batch."""
     clean = rng.random((8, 32, 32, 4), dtype=onp.float32)
@@ -90,6 +92,7 @@ def test_eval_forward_with_chop(small_model, rng):
     assert out.shape == (1, 96, 96, 4)
 
 
+@pytest.mark.slow
 def test_u16_device_normalize_matches_f32(bank, tmp_path, rng):
     """uint16-transfer batches train equivalently to host-normalized f32
     batches: same input values (same reciprocal constant), identical loss;
@@ -217,6 +220,7 @@ def test_train_scan_reduces_loss_and_counts_steps(small_model, bank, rng):
     assert onp.isfinite(float(m["PixelLast"]))
 
 
+@pytest.mark.slow
 def test_train_scan_deterministic(small_model, bank, rng):
     from eld_tpu.train.steps import make_train_scan
 
@@ -252,6 +256,7 @@ def test_train_scan_paired_mode(small_model, rng):
     assert float(m["Pixel"]) < float(m0["Pixel"])
 
 
+@pytest.mark.slow
 def test_train_scan_u16_pool_matches_f32(small_model, bank, rng):
     """uint16 pools (half the HBM) must train bit-identically to the f32
     pool holding the same normalized values (same reciprocal constant)."""
@@ -271,6 +276,7 @@ def test_train_scan_u16_pool_matches_f32(small_model, bank, rng):
         onp.testing.assert_allclose(onp.asarray(a), onp.asarray(b), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_scan_mesh_matches_single_device(small_model, bank, rng):
     """The scanned trainer under an 8-way data mesh == single-device."""
     from eld_tpu.train.steps import make_train_scan

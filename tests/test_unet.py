@@ -65,6 +65,7 @@ def test_remat_matches():
     onp.testing.assert_allclose(onp.asarray(y1), onp.asarray(y2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradients_flow():
     model = UNetSeeInDark()
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 4))
@@ -136,6 +137,7 @@ def test_unet_s2d_arch(rng):
     assert abs(param_count(p) - 7_760_484) / 7_760_484 < 0.01
 
 
+@pytest.mark.slow
 def test_unet_s2d_trains(rng):
     from eld_tpu.models import build_arch
     from eld_tpu.noise import load_camera_params
@@ -153,6 +155,7 @@ def test_unet_s2d_trains(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_bandwidth_variants_exact(rng):
     """The HBM-traffic variants (concat-free decoder, depth-to-space
     upsampling — BASELINE.md roofline follow-up) are exact
