@@ -150,7 +150,10 @@ def build(batch, arch=HEADLINE_ARCH):
     from eld_tpu.train import create_train_state, make_train_step
 
     # production train config: bf16 compute, f32 params/optimizer (the
-    # standard TPU mixed-precision recipe; --bf16 in the CLIs)
+    # standard TPU mixed-precision recipe; --bf16 in the CLIs).  Decoder
+    # variant stays the model-class default (concat/convt) even though
+    # Config now defaults to split: the headline series must stay
+    # comparable across rounds (split would add ~+2.7%, BASELINE.md r4)
     model = build_arch(arch, 4, 4, dtype=jnp.bfloat16)
     bank = load_camera_params()
     state = create_train_state(model, jax.random.PRNGKey(0), (1, PATCH, PATCH, 4))

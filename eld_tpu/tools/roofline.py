@@ -67,7 +67,7 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--skip_mode", default="concat", choices=["concat", "split"])
+    p.add_argument("--skip_mode", default="split", choices=["concat", "split"])
     p.add_argument("--upsample", default="convt", choices=["convt", "d2s"])
     p.add_argument("--skip_bf16", action="store_true")
     p.add_argument("--base_width", type=int, default=32)
