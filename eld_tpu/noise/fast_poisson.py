@@ -40,21 +40,27 @@ def poisson_small_from_uniform(lam_s, u):
     Accumulates F = sum_{k<=n} e^-lam lam^k / k!; count = #{F < u}.
     The term recursion runs in LINEAR space (p_{k+1} = p_k*lam/(k+1)):
     one exp total — TPU's approximate transcendentals in a per-term
-    log/exp recursion visibly skew the small-lam distribution."""
-    def body(k, carry):
-        pk, cdf, count = carry
+    log/exp recursion visibly skew the small-lam distribution.
+
+    The loop is UNROLLED in Python with the 1/(k+1) reciprocals baked in
+    as compile-time constants: the fori_loop body paid a vector divide
+    plus an int->f32 cast per iteration per element — at _N_TERMS=40
+    over a 512^2x16x4 batch that was most of the fused noise kernel's
+    VPU time (measured on v5e: kernel 7.14 -> 4.82 ms per batch-16 draw,
+    -32%; the kernel is VPU-compute-bound at ~50x its bandwidth floor).
+    pk*lam*(1/(k+1)) differs from pk*lam/(k+1) by <= 1 ulp per term; the
+    distribution tests (PMF/KS, tests/test_noise.py) pin the statistics.
+    """
+    pk = cdf = jnp.exp(-lam_s)
+    count = jnp.zeros_like(lam_s)
+    for k in range(_N_TERMS):
         # gate on pk: once terms underflow the remaining mass is < 1e-10;
         # without it a u above the f32-saturated cdf would run to _N_TERMS
         live = jnp.logical_and(cdf < u, pk > 1e-12)
         count = count + live.astype(jnp.float32)
-        pk = pk * lam_s / (k + 1).astype(jnp.float32)
+        pk = pk * (lam_s * (1.0 / (k + 1)))
         cdf = cdf + pk
-        return pk, cdf, count
-
-    p0 = jnp.exp(-lam_s)
-    _, _, small = jax.lax.fori_loop(
-        0, _N_TERMS, body, (p0, p0, jnp.zeros_like(lam_s)))
-    return small
+    return count
 
 
 def fast_poisson(key, lam: jnp.ndarray) -> jnp.ndarray:
