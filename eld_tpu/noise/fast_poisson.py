@@ -28,6 +28,8 @@ import jax.numpy as jnp
 SMALL_MAX = 12.0
 # enough CDF terms to cover lam <= SMALL_MAX to ~1e-9 tail mass
 _N_TERMS = 40
+# terms per unrolled block of the inverse-CDF loop (must divide _N_TERMS)
+_UNROLL = 20
 
 
 def poisson_small_from_uniform(lam_s, u):
@@ -42,24 +44,37 @@ def poisson_small_from_uniform(lam_s, u):
     one exp total — TPU's approximate transcendentals in a per-term
     log/exp recursion visibly skew the small-lam distribution.
 
-    The loop is UNROLLED in Python with the 1/(k+1) reciprocals baked in
-    as compile-time constants: the fori_loop body paid a vector divide
-    plus an int->f32 cast per iteration per element — at _N_TERMS=40
-    over a 512^2x16x4 batch that was most of the fused noise kernel's
-    VPU time (measured on v5e: kernel 7.14 -> 4.82 ms per batch-16 draw,
-    -32%; the kernel is VPU-compute-bound at ~50x its bandwidth floor).
-    pk*lam*(1/(k+1)) differs from pk*lam/(k+1) by <= 1 ulp per term; the
-    distribution tests (PMF/KS, tests/test_noise.py) pin the statistics.
+    The loop is BLOCK-unrolled (_UNROLL terms per fori_loop iteration)
+    with the 1/(k+1) reciprocal computed as a SCALAR divide per term
+    (the scalar core runs it alongside the vector work): the original
+    rolled body paid a VECTOR divide plus an int->f32 vector cast per
+    iteration per element — at _N_TERMS=40 over a 512^2x16x4 batch that
+    was most of the fused noise kernel's VPU time.  Measured on v5e per
+    batch-16 draw: rolled 7.14/7.26 ms, block-8 4.80, block-20 4.40
+    (-38%), full 40-term unroll 4.72 AND a Mosaic scoped-vmem OOM on the
+    'Pg' model (40 x (128, 2048)-f32 live ranges overflow the 16 MB
+    vector stack), so block-20 is both the fastest and the only variant
+    that compiles for every model.  pk*lam*(1/(k+1)) differs from
+    pk*lam/(k+1) by <= 1 ulp per term; the distribution tests (PMF/KS,
+    tests/test_noise.py) pin the statistics.
     """
-    pk = cdf = jnp.exp(-lam_s)
-    count = jnp.zeros_like(lam_s)
-    for k in range(_N_TERMS):
-        # gate on pk: once terms underflow the remaining mass is < 1e-10;
-        # without it a u above the f32-saturated cdf would run to _N_TERMS
-        live = jnp.logical_and(cdf < u, pk > 1e-12)
-        count = count + live.astype(jnp.float32)
-        pk = pk * (lam_s * (1.0 / (k + 1)))
-        cdf = cdf + pk
+    def block(b, carry):
+        pk, cdf, count = carry
+        kf = b.astype(jnp.float32) * _UNROLL
+        for j in range(_UNROLL):
+            # gate on pk: once terms underflow the remaining mass is
+            # < 1e-10; without it a u above the f32-saturated cdf would
+            # run to _N_TERMS
+            live = jnp.logical_and(cdf < u, pk > 1e-12)
+            count = count + live.astype(jnp.float32)
+            r = 1.0 / (kf + (j + 1.0))  # scalar divide
+            pk = pk * (lam_s * r)
+            cdf = cdf + pk
+        return pk, cdf, count
+
+    p0 = jnp.exp(-lam_s)
+    _, _, count = jax.lax.fori_loop(
+        0, _N_TERMS // _UNROLL, block, (p0, p0, jnp.zeros_like(lam_s)))
     return count
 
 

@@ -53,6 +53,13 @@ def _normal_pair(shape):
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 
 
+def _normal_one(shape):
+    """One N(0,1) draw — Box-Muller cosine leg only (skips the sin)."""
+    u1 = jnp.maximum(_uniform(shape), 1e-7)
+    u2 = _uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
 def _poisson_hybrid(lam, n_norm):
     """Poisson(lam) given a standard normal draw for the large branch.
     The small branch is fast_poisson's shared inverse-CDF loop (one
@@ -85,9 +92,17 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
     shape = y.shape
 
     # model is static: only pay the Box-Muller transcendentals when a
-    # component actually consumes a normal draw
-    if "P" in model or "p" in model or "g" in model:
+    # component actually consumes a normal draw — and only the legs that
+    # are consumed (e.g. 'PGrqc' needs n1 but not n2; the unused sin leg
+    # over the full tile is not free)
+    need_shot = "P" in model or "p" in model
+    need_read = "g" in model
+    if need_shot and need_read:
         n1, n2 = _normal_pair(shape)
+    elif need_shot:
+        n1 = _normal_one(shape)
+    elif need_read:
+        n2 = _normal_one(shape)
 
     if "P" in model:
         z = _poisson_hybrid(y / K, n1) * K

@@ -28,10 +28,15 @@ def setup():
     return clean, params
 
 
-def test_pallas_compiles_in_interpret_mode(setup):
-    """Structure/lowering check (RNG is stubbed on CPU — values not used)."""
+@pytest.mark.parametrize("model", ["g", "pg", "Pg", "eld"])
+def test_pallas_compiles_in_interpret_mode(setup, model):
+    """Structure/lowering check (RNG is stubbed on CPU — values not used).
+
+    The four models cover every Box-Muller leg combination: 'g' reads
+    only the sin leg, 'eld' (PGrqc) only the cos leg, 'pg'/'Pg' both.
+    """
     clean, params = setup
-    out = synthesize_pallas(42, clean, params, model="eld",
+    out = synthesize_pallas(42, clean, params, model=model,
                             interpret=pltpu.InterpretParams())
     assert out.shape == clean.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
