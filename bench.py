@@ -85,7 +85,7 @@ def _diagnostic_record(error):
     }
     for k in ("peak_patches_per_sec", "peak_batch",
               "parity_unet_patches_per_sec", "scan_patches_per_sec",
-              "eval_fullframe_fps"):
+              "eval_fullframe_fps", "serving_fullframe_fps"):
         if k in _partials:
             rec[k] = _partials[k]
     return rec
@@ -238,15 +238,23 @@ def run_scan(batch=16, steps_per_call=10, pool_size=64, k=K_WINDOWS):
             "windows": [round(x, 2) for x in windows]}
 
 
-def run_eval_fullframe():
+def run_eval_fullframe(skip_mode="concat", chop=True):
     """Full-frame eval throughput (frames/s) at the real SID geometry
-    (1424x2128x4 packed Sony A7S2), reference --chop eval protocol."""
+    (1424x2128x4 packed Sony A7S2).
+
+    Defaults measure the reference --chop eval protocol with the parity
+    concat decoder — the series-stable number (eval_fullframe_fps).  The
+    SHIPPED serving configuration (serving_fullframe_fps) is measured by
+    passing the Config defaults, so a serving-default flip automatically
+    changes what the bench reports (VERDICT r4 #1: the record previously
+    under-reported the serving capability by only benching the parity
+    protocol)."""
     from eld_tpu.models import build_arch
     from eld_tpu.train.steps import make_eval_forward
 
-    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16)
+    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16, skip_mode=skip_mode)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))["params"]
-    fwd = make_eval_forward(model, chop=True)
+    fwd = make_eval_forward(model, chop=chop)
     x = jnp.asarray(
         onp.random.default_rng(0).random((1, 1424, 2128, 4), dtype=onp.float32))
     # compile + prove full execution (scalar fetch; blocking only on the
@@ -257,6 +265,15 @@ def run_eval_fullframe():
     outs = [fwd(params, x) for _ in range(reps)]
     jax.block_until_ready(outs)
     return reps / (time.perf_counter() - t0)
+
+
+def run_eval_serving():
+    """The shipped serving configuration: eld-denoise's defaults
+    (Config.skip_mode / Config.chop), same geometry as run_eval_fullframe."""
+    from eld_tpu.config import Config
+
+    cfg = Config()
+    return run_eval_fullframe(skip_mode=cfg.skip_mode, chop=cfg.chop), cfg
 
 
 def peak_only():
@@ -367,6 +384,15 @@ def main():
     except Exception as e:
         print(f"[bench] full-frame eval failed: {type(e).__name__}", file=sys.stderr)
         eval_fps = None
+    try:
+        serving_fps, serving_cfg = run_eval_serving()
+        print(f"[bench] serving full-frame ({serving_cfg.skip_mode}, "
+              f"chop={serving_cfg.chop}): {serving_fps:.2f} frames/s",
+              file=sys.stderr)
+        _partials["serving_fullframe_fps"] = round(serving_fps, 2)
+    except Exception as e:
+        print(f"[bench] serving eval failed: {type(e).__name__}", file=sys.stderr)
+        serving_fps = None
     record = {
         "metric": "syn_train_throughput_512px",
         "value": round(best, 2),
@@ -394,6 +420,10 @@ def main():
         record["scan_mad"] = round(scan["mad"], 2)
     if eval_fps is not None:
         record["eval_fullframe_fps"] = round(eval_fps, 2)
+    if serving_fps is not None:
+        record["serving_fullframe_fps"] = round(serving_fps, 2)
+        record["serving_config"] = {"skip_mode": serving_cfg.skip_mode,
+                                    "chop": serving_cfg.chop}
     _finished.set()
     print(json.dumps(record))
 

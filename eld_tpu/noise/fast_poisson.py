@@ -30,6 +30,8 @@ SMALL_MAX = 12.0
 _N_TERMS = 40
 # terms per unrolled block of the inverse-CDF loop (must divide _N_TERMS)
 _UNROLL = 20
+# a non-multiple would silently truncate _N_TERMS % _UNROLL tail CDF terms
+assert _N_TERMS % _UNROLL == 0, "_UNROLL must divide _N_TERMS"
 
 
 def poisson_small_from_uniform(lam_s, u):

@@ -127,11 +127,14 @@ def _noise_kernel(seed_ref, K_ref, g_ref, G_ref, lamb_ref, R_ref, cb_ref,
     chan = lane % channels
 
     if "r" in model:
-        # one draw per sensor row: two lanes of a (BH, 128) block of
-        # normals, broadcast across the row; (R,G1)->even, (B,G2)->odd
-        rn, _ = _normal_pair((shape[0], 128))
-        even = jax.lax.broadcast_in_dim(rn[:, 0], shape, (0,))
-        odd = jax.lax.broadcast_in_dim(rn[:, 1], shape, (0,))
+        # one draw per sensor row, two lanes needed ((R,G1)->even,
+        # (B,G2)->odd): take one lane from EACH Box-Muller leg of a single
+        # (BH, 128) pair — both legs are consumed, honoring the
+        # only-pay-for-consumed-legs rule (cos/sin legs of one (u1,u2)
+        # pair are independent N(0,1))
+        rn_c, rn_s = _normal_pair((shape[0], 128))
+        even = jax.lax.broadcast_in_dim(rn_c[:, 0], shape, (0,))
+        odd = jax.lax.broadcast_in_dim(rn_s[:, 0], shape, (0,))
         row = jnp.where(chan < 2, even, odd) if channels == 4 else even
         z = z + row * R_ref[img, 0]
 

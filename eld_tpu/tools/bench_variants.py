@@ -47,7 +47,9 @@ BATCH = 2 if _SMOKE else 16
 EVAL_H, EVAL_W = (128, 192) if _SMOKE else (1424, 2128)
 STEPS = 10
 WARMUP = 3
-COMBO_TIMEOUT_S = 600
+COMBO_TIMEOUT_S = 900  # device claims through the tunnel vary ~0.1-450s
+# day to day (r5 saw a 444s claim on a healthy chip); each combo child
+# pays its own claim
 
 
 def _measure_train(arch: str, skip_mode: str, upsample: str,
@@ -132,7 +134,8 @@ def _measure_train_aot(topology, arch, skip_mode, upsample,
     return rec
 
 
-def _measure_eval_aot(topology, skip_mode: str, upsample: str) -> dict:
+def _measure_eval_aot(topology, skip_mode: str, upsample: str,
+                      chop: bool = True, batch: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -145,15 +148,86 @@ def _measure_eval_aot(topology, skip_mode: str, upsample: str) -> dict:
                        skip_mode=skip_mode, upsample=upsample)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, 4)))["params"]
-    fwd = make_eval_forward(model, chop=True)
-    x = jax.ShapeDtypeStruct((1, EVAL_H, EVAL_W, 4), jnp.float32)
+    fwd = make_eval_forward(model, chop=chop)
+    x = jax.ShapeDtypeStruct((batch, EVAL_H, EVAL_W, 4), jnp.float32)
     compiled = compile_for(fwd, params, x, topology=topology)
     rec = cost_record(compiled)
-    rec["aot_topology"] = topology
+    rec.update(aot_topology=topology, chop=chop, batch=batch)
     return rec
 
 
-def _measure_eval(skip_mode: str, upsample: str) -> dict:
+def _measure_gate(variant: str) -> dict:
+    """Re-measure the two compile-time gates baked into train/steps.py
+    (VERDICT r4 #7): donation-under-mesh (~15x compile blowup on jax
+    0.9.0) and jnp-noise-under-mesh (~116 s vs ~12 s for pallas).  Run via
+    ``--modes gate`` on the TPU; compare against BASELINE.md's "Round-2
+    mesh-path measurements" table (same geometry: 512^2 batch 8).
+
+    variants: jit_donate (the no-mesh bench path), mesh_pallas (the mesh
+    default), mesh_jnp, mesh_pallas_donate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    from eld_tpu.models import build_arch
+    from eld_tpu.noise import load_camera_params
+    from eld_tpu.parallel import MeshSpec, make_mesh
+    from eld_tpu.parallel.mesh import replicated, shard_batch
+    from eld_tpu.train import create_train_state, make_train_step
+
+    B = 2 if _SMOKE else 8
+    model = build_arch("unet_s2d", 4, 4, dtype=jnp.bfloat16)
+    bank = load_camera_params()
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (1, PATCH, PATCH, 4))
+    mesh, kw = None, {}
+    if variant.startswith("mesh"):
+        mesh = make_mesh(MeshSpec(1, 1))
+        kw = dict(noise_impl="jnp" if "jnp" in variant else "pallas",
+                  mesh_donate="donate" in variant)
+    else:
+        kw = dict(donate="donate" in variant)
+    step = make_train_step(model, loss="l1", noise_model="eld", bank=bank,
+                           mesh=mesh, **kw)
+    clean = onp.random.default_rng(0).random((B, PATCH, PATCH, 4),
+                                             dtype=onp.float32)
+    key = jax.random.PRNGKey(0)
+    if mesh is not None:  # commit inputs (steps.py NOTE): uncommitted
+        state = jax.device_put(state, replicated(mesh))
+        key = jax.device_put(key, replicated(mesh))
+        batch = shard_batch(mesh, {"clean": clean})
+    else:
+        batch = {"clean": jnp.asarray(clean)}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, key)
+    float(m["Pixel"])
+    compile_s = time.perf_counter() - t0
+
+    def timed(off):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, m = step(state, batch, jax.random.fold_in(key, off + i))
+        float(m["Pixel"])
+        return B * STEPS / (time.perf_counter() - t0)
+
+    return {"variant": variant,
+            "compile_plus_first_s": round(compile_s, 1),
+            "patches_per_sec": round(max(timed(100), timed(200)), 2)}
+
+
+def _measure_eval(skip_mode: str, upsample: str, chop: bool = True,
+                  batch: int = 1) -> dict:
+    """Full-frame eval forward at the SID geometry.
+
+    ``chop=True`` is the reference's released eval protocol (4-tile
+    shave/stitch, models/ELD_model.py:434-467); ``chop=False`` is the
+    whole frame through the net in one program — batch-1 temp HBM is only
+    2.34 GB on v5e (round-3 AOT study), so chop is a latency CHOICE here,
+    not a memory necessity.  ``batch>1`` measures offline-reprocessing
+    throughput (many frames, latency-insensitive).  Median of 5 windows
+    with MAD, same robustness rig as bench.py."""
     import jax
     import jax.numpy as jnp
     import numpy as onp
@@ -165,15 +239,22 @@ def _measure_eval(skip_mode: str, upsample: str) -> dict:
                        skip_mode=skip_mode, upsample=upsample)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, 4)))["params"]
-    fwd = make_eval_forward(model, chop=True)
+    fwd = make_eval_forward(model, chop=chop)
     x = jnp.asarray(onp.random.default_rng(0).random(
-        (1, EVAL_H, EVAL_W, 4), dtype=onp.float32))
+        (batch, EVAL_H, EVAL_W, 4), dtype=onp.float32))
     float(fwd(params, x).sum())  # compile + prove full execution
-    reps = 6
-    t0 = time.perf_counter()
-    outs = [fwd(params, x) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    return {"fullframe_fps": round(reps / (time.perf_counter() - t0), 2)}
+    reps, k = max(1, 6 // batch), 5
+    windows = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        outs = [fwd(params, x) for _ in range(reps)]
+        jax.block_until_ready(outs)
+        windows.append(batch * reps / (time.perf_counter() - t0))
+    s = sorted(windows)
+    med = s[k // 2]
+    return {"fullframe_fps": round(med, 2),
+            "fps_mad": round(sorted(abs(w - med) for w in windows)[k // 2], 2),
+            "chop": chop, "batch": batch}
 
 
 def _child(argv):
@@ -193,10 +274,21 @@ def _child(argv):
                                  f32=f32, skip_bf16=skip_bf16)
         rec.update(mode="train", arch=arch, remat=remat, f32=f32,
                    skip_bf16=skip_bf16)
+    elif mode == "gate":
+        rec = _measure_gate(argv[1])
+        rec.update(mode="gate")
+        print(json.dumps(rec), flush=True)
+        return
     else:
         skip_mode, upsample = argv[1:3]
-        rec = (_measure_eval_aot(aot, skip_mode, upsample) if aot
-               else _measure_eval(skip_mode, upsample))
+        flags = argv[3:]
+        chop = "nochop" not in flags
+        batch = next((int(f[1:]) for f in flags if f.startswith("b")), 1)
+        if aot:
+            rec = _measure_eval_aot(aot, skip_mode, upsample, chop=chop,
+                                    batch=batch)
+        else:
+            rec = _measure_eval(skip_mode, upsample, chop=chop, batch=batch)
         rec.update(mode="eval_fullframe", arch="unet")
     rec.update(skip_mode=skip_mode, upsample=upsample)
     print(json.dumps(rec), flush=True)
@@ -228,6 +320,10 @@ def main():
             sys.exit("--out needs a file path")
         out_path = sys.argv[i + 1]
 
+    modes = None  # default: the full sweep
+    if "--modes" in sys.argv:  # e.g. --modes eval  (skip the train combos)
+        modes = set(sys.argv[sys.argv.index("--modes") + 1].split(","))
+
     results = []
     combos = [("train", arch, sm, up)
               for arch, sm, up in itertools.product(
@@ -244,6 +340,20 @@ def main():
     combos += [("eval", sm, up)
                for sm, up in itertools.product(("concat", "split"),
                                                ("convt", "d2s"))]
+    # serving-path harvest (VERDICT r4 #1): the chopped protocol leaves the
+    # eval forward at ~61% of HBM peak; no-chop drops the tile redundancy
+    # and stack/stitch copies.  Batch>1 = offline-reprocessing throughput.
+    combos += [("eval", sm, "convt", "nochop") for sm in ("concat", "split")]
+    combos += [("eval", "split", "convt", "nochop", f"b{b}")
+               for b in (4, 8, 16)]
+    if modes and "gate" in modes:
+        # compile-gate re-measurements (steps.py): only on request — they
+        # are one-off calibration runs, not part of the standing sweep
+        combos += [("gate", v) for v in
+                   ("jit_donate", "mesh_pallas", "mesh_jnp",
+                    "mesh_pallas_donate")]
+    if modes:
+        combos = [c for c in combos if c[0] in modes]
     for combo in combos:
         label = "/".join(combo)
         try:

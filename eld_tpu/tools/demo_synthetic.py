@@ -144,10 +144,33 @@ def main(argv=None):
                    help="run K optimizer steps per XLA launch via "
                         "make_train_scan (picks/augment/noise/update all "
                         "on device) instead of one launch per step")
+    p.add_argument("--sample", choices=["pick", "perm"], default="pick",
+                   help="per-step batch sampling: 'pick' = with-replacement "
+                        "draws (make_train_scan's pool semantics); 'perm' = "
+                        "epoch permutation over the clean set (the reference "
+                        "loader's semantics, train_syn.py:100-113 + "
+                        "DataLoader(shuffle=True)).  perm needs the per-step "
+                        "path (not --scan) and batch | n_train")
     ns = p.parse_args(argv)
-    if ns.scan and ns.lr_decay:
-        sys.exit("--scan and --lr_decay are mutually exclusive (the LR step "
-                 "would land mid-launch); use train_syn for scheduled runs")
+    if ns.scan and ns.lr_decay and (
+            (ns.steps // 2) % ns.scan or (ns.steps * 9 // 10) % ns.scan):
+        # the schedule is applied at launch boundaries; when the 50%/90%
+        # boundaries are launch-aligned the scanned schedule is IDENTICAL
+        # to the per-step path's — refuse silently-shifted schedules so
+        # the scan-vs-loader quality A/B compares like with like
+        sys.exit("--scan with --lr_decay needs the 50% and 90% step "
+                 f"boundaries launch-aligned: steps={ns.steps} scan={ns.scan} "
+                 f"puts them at {ns.steps // 2}/{ns.steps * 9 // 10} "
+                 "(both must be multiples of scan)")
+    if ns.sample == "perm":
+        if ns.scan:
+            sys.exit("--sample perm needs the per-step path (drop --scan); "
+                     "the scanned trainer's pool semantics IS with-"
+                     "replacement picks — that difference is what the "
+                     "scan-vs-perm quality A/B measures")
+        if ns.n_train % ns.batch:
+            sys.exit(f"--sample perm needs batch | n_train "
+                     f"({ns.batch} does not divide {ns.n_train})")
 
     rng = onp.random.default_rng(ns.seed)
     if ns.n_train * ns.size * ns.size * 16 > 2 ** 27:  # >128 MB of clean f32
@@ -163,6 +186,23 @@ def main(argv=None):
     state = create_train_state(model, jax.random.PRNGKey(ns.seed),
                                (1, ns.size, ns.size, 4), lr=ns.lr)
     step = make_train_step(model, noise_model=ns.noise, bank=bank)
+
+    @jax.jit
+    def gather(idx):
+        return train_clean[idx]
+
+    perm_rng = onp.random.default_rng(ns.seed + 2)
+    perm_order = onp.empty((0,), onp.int64)
+
+    def pick_perm(i):
+        """Epoch-permutation sampling: each scene appears exactly once per
+        n_train/batch steps, in a freshly shuffled order per epoch — the
+        reference DataLoader(shuffle=True) semantics."""
+        nonlocal perm_order
+        lo = (i * ns.batch) % ns.n_train
+        if lo == 0:
+            perm_order = perm_rng.permutation(ns.n_train)
+        return gather(jnp.asarray(perm_order[lo:lo + ns.batch]))
 
     @jax.jit
     def pick(key):
@@ -183,21 +223,32 @@ def main(argv=None):
         if ns.lr_decay and lr_at(i) != lr_at(i - 1):
             state = set_learning_rate(state, lr_at(i))
         k_pick, k_step = jax.random.split(jax.random.fold_in(base, i))
-        return step(state, {"clean": pick(k_pick)}, k_step)
+        clean = pick_perm(i) if ns.sample == "perm" else pick(k_pick)
+        return step(state, {"clean": clean}, k_step)
 
     # warm up (compile) outside the timed region, like bench.py
     m = {"Pixel": 0.0}
     if ns.scan > 0:
         from eld_tpu.train.steps import make_train_scan
 
+        # augment=False: the per-step arm of this harness never augments,
+        # so the scan-vs-per-step quality A/B (BASELINE.md) must not hand
+        # the scan arm a free flip/transpose advantage.  Engine.train_pool
+        # keeps augment=True (the reference protocol augments).
         scan_fn = make_train_scan(model, noise_model=ns.noise, bank=bank,
-                                  batch=ns.batch, steps_per_call=ns.scan)
+                                  batch=ns.batch, steps_per_call=ns.scan,
+                                  augment=False)
         pool = {"clean": train_clean}
         n_calls = max(ns.steps // ns.scan, 1)
         state, m = scan_fn(state, pool, jax.random.fold_in(base, 0))
         jax.block_until_ready(m["Pixel"])
         t0 = time.perf_counter()
         for i in range(1, n_calls):
+            # LR schedule at launch boundaries — the guard above makes the
+            # 50%/90% steps launch-aligned, so this matches the per-step
+            # path's schedule exactly (same lr at every optimizer step)
+            if ns.lr_decay and lr_at(i * ns.scan) != lr_at((i - 1) * ns.scan):
+                state = set_learning_rate(state, lr_at(i * ns.scan))
             state, m = scan_fn(state, pool, jax.random.fold_in(base, i))
             if (i * ns.scan) % 100 < ns.scan:
                 print(f"step {i * ns.scan}: loss {float(m['Pixel']):.4f}",
@@ -244,6 +295,8 @@ def main(argv=None):
 
     result = {
         "arch": ns.arch, "steps": ns.steps, "scan": ns.scan,
+        "sample": ns.sample, "lr_decay": ns.lr_decay,
+        "train_wall_s": round(train_time, 1),
         "train_patches_per_sec": round(timed_patches / train_time, 1),
         "final_loss": round(float(m["Pixel"]), 4),
         **{f"{k}_{kk}": vv for k, v in gains.items() for kk, vv in v.items()},

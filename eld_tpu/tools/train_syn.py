@@ -118,8 +118,9 @@ def main(argv=None, extra=None):
 
     pool = None
     if ns.scan > 0:
-        if shard != (0, 1):
-            raise SystemExit("--scan is single-controller; drop --multihost")
+        # pods included: the pool rides replicated and the batch picks run
+        # inside the SPMD program (Engine.train_pool docstring) — every
+        # host just needs the full store locally, like DataLoader workers
         from eld_tpu.data.loader import pool_to_device
 
         if ns.offline_noise:

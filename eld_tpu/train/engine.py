@@ -258,12 +258,17 @@ class Engine:
         Key threading matches ``train``: per-launch key = f(seed, host_step),
         so resume reproduces the noise/pick stream — provided
         ``steps_per_call`` is unchanged across the resume.
+
+        Pods: works multi-process — the pool rides replicated (build it
+        with ``pool_to_device(store, engine.mesh)``; every host must hold
+        the full store, mirroring how every DataLoader worker sees the full
+        dataset), the per-launch keys are identical on every process, and
+        the batch picks happen INSIDE the jitted SPMD program, so all
+        processes compute the same global batch, sharded over the mesh's
+        data axis; XLA inserts the gradient psum.  Validated by the real
+        2-process cluster test (tests/test_multiprocess.py).
         """
         cfg = self.cfg
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "train_pool is single-controller for now; use train(loader) "
-                "with --multihost on pods")
         print(f"\nEpoch: {self.epoch} (lr {get_learning_rate(self.state):.2e}, "
               f"scan x{steps_per_call})")
         from eld_tpu.train.steps import make_train_scan

@@ -50,6 +50,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     noise_impl: str = "auto",
+    mesh_donate: bool = False,
 ):
     """Build the jitted train step.
 
@@ -62,6 +63,10 @@ def make_train_step(
 
     With ``mesh`` the step is jitted with explicit shardings: batch over
     ``data``, state replicated — XLA inserts the gradient psum over ICI.
+    ``donate`` only applies to the no-mesh path; ``mesh_donate`` opts the
+    mesh path into state donation — a benchmark-only knob for re-measuring
+    the donation-under-mesh compile blowup (see the gate note below), NOT
+    for production use.
     """
 
     synthetic = noise_model is not None
@@ -150,6 +155,7 @@ def make_train_step(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
+        donate_argnums=(0,) if mesh_donate else (),
     )
 
 

@@ -7,11 +7,14 @@
 // ELD exposure ratio (dataset/sid_dataset.py:21-34, 397-401).
 //
 // Scope: the TIFF/TIFF-EP container family (.dng/.ARW/.NEF/.CR2 share it).
-// Decodes uncompressed (Compression=1) 8/16-bit mosaics, linear DNGs, and
-// Sony ARW 2.3 lossy-compressed mosaics (Compression=32767, 1 byte/px —
-// the SID dataset's format; see sony_arw2 below).  Other vendor-compressed
-// payloads (CR2/NEF lossless JPEG) report RIO_E_UNSUPPORTED_COMPRESSION so
-// callers can gate or pre-convert to DNG.
+// Decodes uncompressed (Compression=1) 8/16-bit mosaics, linear DNGs with
+// ActiveArea cropping, Sony ARW 2.3 lossy-compressed mosaics
+// (Compression=32767, 1 byte/px — the SID dataset's format; see sony_arw2
+// below), Canon CR2 lossless-JPEG payloads (ITU-T81 SOF3, see read_cr2
+// below), and Nikon NEF lossless payloads (see decode_nef below) — every
+// raw format the SID/ELD datasets actually contain.  Genuinely unsupported
+// compressions report RIO_E_UNSUPPORTED_COMPRESSION so callers can gate or
+// pre-convert to DNG.
 // C ABI for ctypes (eld_tpu/data/rawio.py).
 
 #include <cstdint>

@@ -91,6 +91,18 @@ def main():
     res = engine.eval([item], dataset_name="mp_eval", loss_key="PSNR",
                       correct=True, crop=False)
 
+    # scanned trainer on the pod: replicated pool, batch picks inside the
+    # SPMD program, identical per-launch keys on every process (VERDICT r4
+    # #4 — multi-host train_pool)
+    from eld_tpu.data.loader import pool_to_device
+
+    pool = {"clean": pool_to_device(PatchStore(store_path), engine.mesh)}
+    scan_meters = engine.train_pool(pool, steps=4, steps_per_call=2)
+    scan = {"Pixel": scan_meters["Pixel"],
+            "PixelLast": scan_meters["PixelLast"]}
+    leaves = jax.tree_util.tree_leaves(jax.device_get(engine.state.params))
+    fp_scan = float(sum(onp.abs(l).sum() for l in leaves))
+
     logs = os.path.join(engine.cfg.save_dir, "logs")
     log_runs = len(os.listdir(logs)) if os.path.isdir(logs) else 0
     ckpts = sorted(f for f in os.listdir(engine.cfg.save_dir)
@@ -99,6 +111,7 @@ def main():
         "pid": pid, "perm": perm, "fp": fp, "losses": losses,
         "eval": res.as_dict(), "ckpts": ckpts, "log_runs": log_runs,
         "save_dir": engine.cfg.save_dir,
+        "scan": scan, "fp_scan": fp_scan,
     }), flush=True)
 
 

@@ -422,6 +422,19 @@ def _our_eval(sid_dir, pt_path, tmp, chop, stage_eval="raw"):
     return main(argv)
 
 
+def _our_eval_ckpt(sid_dir, ckpt_path, tmp):
+    """Our released CLI evaluating a native orbax checkpoint (the artifact
+    a scanned training run actually produces)."""
+    from eld_tpu.tools.test_sid import main
+
+    return main([
+        "--datadir", sid_dir.root, "--pairs", sid_dir.listfile,
+        "--name", "our_scan_parity", "--checkpoints_dir", str(tmp),
+        "--model_path", ckpt_path, "--mesh_data", "1",
+        "--no-log", "--no-verbose",
+    ])
+
+
 def _ref_eld_eval(ref, eld_root, pt_path):
     """The reference's composed ELD protocol: test_ELD.py:33-51 —
     ELDEvalDataset (nearest-GT of {1,6,11,16}, EXIF iso*expo ratio) ->
@@ -483,6 +496,56 @@ def test_composed_eval_protocol_parity(ref, sid_dir, pt_checkpoint,
                                        tmp_path, chop, stage_eval):
     theirs = _ref_eval(ref, sid_dir, pt_checkpoint, chop, stage_eval)
     ours = _our_eval(sid_dir, pt_checkpoint, tmp_path, chop, stage_eval)
+
+    assert set(theirs) == set(ours)
+    for ratio in theirs:
+        dpsnr = abs(theirs[ratio]["PSNR"] - ours[ratio]["PSNR"])
+        dssim = abs(theirs[ratio]["SSIM"] - ours[ratio]["SSIM"])
+        assert dpsnr <= 0.05, (
+            f"ratio {ratio}: PSNR {ours[ratio]['PSNR']:.4f} vs reference "
+            f"{theirs[ratio]['PSNR']:.4f} (|d|={dpsnr:.4f} dB)")
+        assert dssim <= 1e-3, (
+            f"ratio {ratio}: SSIM {ours[ratio]['SSIM']:.5f} vs reference "
+            f"{theirs[ratio]['SSIM']:.5f} (|d|={dssim:.5f})")
+
+
+@pytest.mark.slow
+def test_scan_trained_checkpoint_composed_parity(ref, sid_dir, tmp_path):
+    """A checkpoint trained via the scanned ``Engine.train_pool`` path is
+    protocol-indistinguishable: our released CLI evals the orbax artifact
+    the scan run saved, the reference's own composed stack evals the same
+    weights exported to its ``.pt`` layout — final PSNR/SSIM agree to
+    +-0.05 dB / 1e-3 (VERDICT r4 #6: the scan path previously had
+    throughput and finite-loss evidence only)."""
+    import jax
+
+    from eld_tpu.compat.torch_import import export_torch_state_dict
+    from eld_tpu.config import Config
+    from eld_tpu.train.engine import Engine
+
+    cfg = Config(
+        name="scan_ckpt", checkpoints_dir=str(tmp_path / "train"),
+        is_train=True, batch_size=4, mesh_data=1, noise="pg", include=4,
+        no_log=True, no_verbose=True, async_ckpt=False, seed=11,
+    )
+    engine = Engine(cfg)
+    pool = {"clean": jax.numpy.asarray(
+        onp.random.default_rng(3).random((8, 64, 64, 4), onp.float32))}
+    engine.train_pool(pool, steps=4, steps_per_call=2)
+    engine.save(label="latest", wait=True)
+    ckpt_path = os.path.join(cfg.save_dir, "model_latest.ckpt")
+    assert os.path.exists(ckpt_path)
+
+    # reference side: the SAME weights in the reference's own .pt layout
+    sd = export_torch_state_dict(jax.device_get(engine.state.params))
+    pt_path = str(tmp_path / "model_scan.pt")
+    torch.save({"netG": {k: torch.from_numpy(onp.ascontiguousarray(v))
+                         for k, v in sd.items()},
+                "epoch": engine.epoch, "iterations": engine.iterations},
+               pt_path)
+
+    theirs = _ref_eval(ref, sid_dir, pt_path, chop=False)
+    ours = _our_eval_ckpt(sid_dir, ckpt_path, tmp_path)
 
     assert set(theirs) == set(ours)
     for ratio in theirs:

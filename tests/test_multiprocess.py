@@ -86,6 +86,10 @@ def test_two_process_cluster_trains_coherently(mp_results):
     r0, r1 = mp_results["results"][0], mp_results["results"][1]
     assert r0["losses"] == pytest.approx(r1["losses"], rel=1e-6)
     assert r0["fp"] == pytest.approx(r1["fp"], rel=1e-6)
+    # the scanned train_pool path is pod-coherent too (replicated pool,
+    # picks inside the SPMD program)
+    assert r0["scan"]["Pixel"] == pytest.approx(r1["scan"]["Pixel"], rel=1e-6)
+    assert r0["fp_scan"] == pytest.approx(r1["fp_scan"], rel=1e-6)
     # loader rows from both hosts tile the global batch exactly
     perm = {int(k): v for k, v in {**r0["perm"], **r1["perm"]}.items()}
     assert sorted(perm) == list(range(8))
@@ -144,6 +148,18 @@ def test_multiprocess_params_match_single_process(mp_results):
         meters = engine.train([{"clean": batch}])
         assert meters["Pixel"] == pytest.approx(
             mp_results["results"][0]["losses"][epoch], rel=1e-4)
+
+    # the pod continued with the scanned train_pool path; replay it with
+    # the same pool/keys — picks happen inside the program, so the batch
+    # stream is mesh-layout-independent
+    from eld_tpu.data.loader import pool_to_device
+
+    pool = {"clean": pool_to_device(PatchStore(mp_results["store"]),
+                                    engine.mesh)}
+    meters = engine.train_pool(pool, steps=4, steps_per_call=2)
+    assert meters["Pixel"] == pytest.approx(r0["scan"]["Pixel"], rel=1e-4)
+    assert meters["PixelLast"] == pytest.approx(
+        r0["scan"]["PixelLast"], rel=1e-4)
 
     # leaf-wise parameter comparison against the pod's final checkpoint
     pod_latest = os.path.join(

@@ -32,8 +32,10 @@ def setup():
 def test_pallas_compiles_in_interpret_mode(setup, model):
     """Structure/lowering check (RNG is stubbed on CPU — values not used).
 
-    The four models cover every Box-Muller leg combination: 'g' reads
-    only the sin leg, 'eld' (PGrqc) only the cos leg, 'pg'/'Pg' both.
+    The four models cover every Box-Muller draw shape under the
+    single-leg rule: 'g' and 'eld' (PGrqc) each consume ONE normal and
+    draw it via _normal_one (the cos leg; the sin leg is never computed),
+    'pg'/'Pg' consume two and draw the full pair.
     """
     clean, params = setup
     out = synthesize_pallas(42, clean, params, model=model,

@@ -171,6 +171,23 @@ def test_device_scene_generator_matches_host_distribution(rng):
     assert onp.std(dev.mean(axis=(1, 2, 3))) > 0.01
 
 
+def test_demo_synthetic_arg_guards():
+    """The scan/lr_decay/sample flag combinations that would silently
+    change the A/B semantics are refused with an explanatory exit:
+    mis-aligned LR boundaries under --scan (the schedule would shift to a
+    launch boundary), perm sampling under --scan (the pool semantics IS
+    the thing being A/B'd), and perm with batch not dividing n_train."""
+    from eld_tpu.tools.demo_synthetic import main
+
+    with pytest.raises(SystemExit):
+        main(["--scan", "3", "--steps", "10", "--lr_decay"])  # 5 % 3 != 0
+    with pytest.raises(SystemExit):
+        main(["--scan", "2", "--steps", "20", "--sample", "perm"])
+    with pytest.raises(SystemExit):
+        main(["--steps", "4", "--sample", "perm",
+              "--batch", "3", "--n_train", "8"])
+
+
 def test_multihost_payload_helpers(rng):
     """allgather_objects is identity single-process; oversize payloads
     encode a sentinel that decodes to a ValueError on EVERY process
