@@ -64,7 +64,10 @@ class Config:
     skip_mode: str = "split"   # concat-free decoder (exact reparam of the
                                # same checkpoint); measured +12.3% full-frame
                                # eval fps / +2.7% train on the real TPU
-                               # (BASELINE.md round-4 sweep) vs "concat"
+                               # (BASELINE.md round-4 sweep) vs "concat".
+                               # With chop=False (the serving default) the
+                               # r5 sweep measured split+no-chop fastest
+                               # overall: 21.49 fps vs 19.12 parity protocol
     skip_bf16: bool = False    # store U-Net skip activations in bf16 (halves
                                # their HBM traffic; ~3e-3 forward delta on f32)
     upsample: str = "convt"    # "d2s": 1x1-conv + depth-to-space (exact reparam)

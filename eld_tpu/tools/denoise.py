@@ -108,9 +108,10 @@ def main(argv=None):
     p.add_argument("--skip_mode", choices=["concat", "split"],
                    default="split",
                    help="decoder skip handling; 'split' (default) is an "
-                        "exact re-parameterization of the same checkpoint "
-                        "measured at 21.34 vs 19.01 full-frame fps on the "
-                        "real TPU (+12.3%%, BASELINE.md round-4 sweep)")
+                        "exact re-parameterization of the same checkpoint; "
+                        "with the default no-chop forward it measured "
+                        "21.49 vs 19.12 full-frame fps on the real TPU "
+                        "(+12.4%%, BASELINE.md round-5 serving sweep)")
     p.add_argument("--upsample", choices=["convt", "d2s"], default="convt")
     p.add_argument("--chop", action="store_true",
                    help="4-tile chopped forward (checkpoint path only; "
