@@ -56,9 +56,10 @@ K_WINDOWS = 5  # median-of-k timed windows per batch (VERDICT r3 #2: the
 #   2. deadline watchdog: a daemon thread that, if the full bench hasn't
 #      finished in BENCH_DEADLINE_S, emits whatever partial measurements
 #      exist as the JSON record (error-tagged) and hard-exits.
-PROBE_TIMEOUT_S = 420  # measured claim latency through the tunnel varies
-# ~80-240s day to day (r3: a bare jax.devices() took 3m41s on a healthy
-# chip); 120s misdiagnosed a live TPU as unreachable
+PROBE_TIMEOUT_S = 600  # measured claim latency through the tunnel varies
+# ~80-450s day to day (r3: a bare jax.devices() took 3m41s on a healthy
+# chip; r5: 444s — which overran the old 420s budget and misreported a
+# healthy chip as unreachable); 120s misdiagnosed a live TPU earlier still
 RETRY_PROBE_TIMEOUT_S = 120  # the post-lock-removal retry only has to
 # beat the instant-abort failure mode, not a slow claim — a short leash
 # keeps worst-case probe wall time at 420+120 s, not 2x420 (ADVICE r3)

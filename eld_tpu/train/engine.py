@@ -273,40 +273,50 @@ class Engine:
               f"scan x{steps_per_call})")
         from eld_tpu.train.steps import make_train_scan
 
-        key_sc = (steps_per_call, cfg.batch_size)
-        if getattr(self, "_train_scan_key", None) != key_sc:
-            synthetic = cfg.noise not in (None, "", "none")
-            self._train_scan = make_train_scan(
-                self.model, loss=cfg.loss,
-                noise_model=cfg.noise if synthetic else None,
-                bank=self.bank, k_mode=cfg.k_mode,
-                batch=cfg.batch_size, steps_per_call=steps_per_call,
-                mesh=self._step_mesh,
-                donate=self._step_mesh is None,
-            )
-            self._train_scan_key = key_sc
+        synthetic = cfg.noise not in (None, "", "none")
+
+        def scan_fn(k):
+            """Build (and cache) the K-steps-per-launch program."""
+            key_sc = (k, cfg.batch_size)
+            cache = getattr(self, "_train_scans", None)
+            if cache is None:
+                cache = self._train_scans = {}
+            if key_sc not in cache:
+                cache[key_sc] = make_train_scan(
+                    self.model, loss=cfg.loss,
+                    noise_model=cfg.noise if synthetic else None,
+                    bank=self.bank, k_mode=cfg.k_mode,
+                    batch=cfg.batch_size, steps_per_call=k,
+                    mesh=self._step_mesh,
+                    donate=self._step_mesh is None,
+                )
+            return cache[key_sc]
 
         meters = AverageMeters()
         t0 = time.time()
         host_step = self.iterations
-        n_calls = max(1, -(-steps // steps_per_call))
+        # exact step count: full K-step launches plus one remainder launch
+        # (its own, smaller program — one extra compile) instead of
+        # rounding the epoch up to a launch multiple
+        n_full, rem = divmod(max(steps, 1), steps_per_call)
+        launches = [steps_per_call] * n_full + ([rem] if rem else [])
         pending = None  # one-launch-delayed metric drain (see train())
 
-        def drain(i, metrics, step_idx):
-            self.throughput.tick(cfg.batch_size * steps_per_call)
-            meters.update({k: float(v) for k, v in metrics.items()})
-            progress(i, n_calls, f"{meters} | "
+        def drain(i, metrics, step_idx, k):
+            self.throughput.tick(cfg.batch_size * k)
+            meters.update({k_: float(v) for k_, v in metrics.items()})
+            progress(i, len(launches), f"{meters} | "
                      f"{self.throughput.items_per_sec:.1f} patches/s", every=1)
             if self.writer is not None:
                 write_loss(self.writer, "train", meters, step_idx)
 
-        for i in range(n_calls):
+        for i, k in enumerate(launches):
             sub = jax.random.fold_in(self._key, host_step)
-            self.state, metrics = self._train_scan(self.state, pool, sub)
-            host_step += steps_per_call
+            self.state, metrics = scan_fn(k)(self.state, pool, sub)
+            host_step += k
             if pending is not None:
                 drain(*pending)
-            pending = (i, metrics, host_step)
+            pending = (i, metrics, host_step, k)
         if pending is not None:
             drain(*pending)
 

@@ -483,3 +483,8 @@ def test_engine_train_pool_scan_path(tmp_path, clean_store):
         m = engine.train_pool(pool, steps=6, steps_per_call=3)
     assert engine.iterations == 24
     assert m["Pixel"] < m0["Pixel"]
+
+    # steps that are NOT a launch multiple run EXACTLY (a remainder launch
+    # is compiled for the tail, not rounded up to a full launch)
+    engine.train_pool(pool, steps=7, steps_per_call=3)
+    assert engine.iterations == 31
