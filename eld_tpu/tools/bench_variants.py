@@ -116,17 +116,17 @@ def _build_train(arch, skip_mode, upsample, remat, f32, skip_bf16,
 
 def _measure_train_aot(topology, arch, skip_mode, upsample,
                        remat=False, f32=False, skip_bf16=False) -> dict:
-    """Static XLA:TPU cost/memory analysis via an offline topology —
-    mirrors the on-TPU 'auto' noise choice (pallas at this geometry)."""
+    """Static XLA:TPU cost/memory analysis via an offline topology.
+
+    noise_impl follows the shipped 'auto' (= jnp since the round-5 gate
+    re-measurement), which also works offline on the CPU host."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     from eld_tpu.tools.aot import compile_for, cost_record
 
-    aligned = (PATCH * 4) % 128 == 0 and PATCH % 8 == 0
     state, step, data = _build_train(arch, skip_mode, upsample, remat, f32,
-                                     skip_bf16,
-                                     noise_impl="pallas" if aligned else "jnp")
+                                     skip_bf16, noise_impl="jnp")
     compiled = compile_for(step, state, data, jax.random.PRNGKey(0),
                            topology=topology)
     rec = cost_record(compiled)

@@ -99,11 +99,9 @@ def main(argv=None):
         # static-only, and never let a wedged device grant hang the report
         jax.config.update("jax_platforms", "cpu")
         ns.run = False
-        if ns.noise_impl == "auto":
-            # mirror the on-TPU "auto" choice (steps._use_pallas_noise
-            # would see the CPU host here and wrongly pick jnp)
-            aligned = (ns.patch * 4) % 128 == 0 and ns.patch % 8 == 0
-            ns.noise_impl = "pallas" if aligned else "jnp"
+        # "auto" = jnp on every platform since round 5 (steps._synthesize
+        # gate history), so no CPU-vs-TPU mirroring is needed here; pass
+        # --noise_impl pallas to analyze the fused-kernel variant.
 
     mesh_extra = {}
     if ns.aot and ns.mesh_data > 1:

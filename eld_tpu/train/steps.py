@@ -30,17 +30,6 @@ def pixel_loss(pred, target, kind: str = "l1"):
     return init_loss(kind)(pred, target)
 
 
-def _use_pallas_noise(clean_shape) -> bool:
-    """The fused Pallas sampler needs a TPU backend and lane-aligned rows."""
-    n, h, w, c = clean_shape
-    if (w * c) % 128 != 0 or h % 8 != 0:
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
-
-
 def make_train_step(
     model,
     loss: str = "l1",
@@ -58,8 +47,9 @@ def make_train_step(
     and synthesizes the noisy input on-device; otherwise it takes
     {"input", "target"} paired batches (the ``train_real.py`` path).
 
-    noise_impl: "auto" (fused Pallas kernel on TPU, jnp elsewhere),
-    "pallas", or "jnp".
+    noise_impl: "auto" (= "jnp" since the round-5 re-measurement — see
+    ``_synthesize``), "pallas" (the fused kernel; needs TPU + lane-aligned
+    rows), or "jnp".
 
     With ``mesh`` the step is jitted with explicit shardings: batch over
     ``data``, state replicated — XLA inserts the gradient psum over ICI.
@@ -74,14 +64,17 @@ def make_train_step(
         raise ValueError("synthetic training needs a CameraParamsBank")
 
     def _synthesize(key, clean, nparams):
-        # auto: the fused Pallas kernel on TPU, with or without a mesh.
-        # (Round-1 gated the mesh case to jnp because shard_map+pallas_call
-        # compiled in minutes on the then-current jax; re-measured on jax
-        # 0.9.0/v5e at 512^2 batch 8 the gate is backwards: pallas-under-
-        # mesh compiles in ~12s while jnp-under-mesh takes ~116s, and the
-        # pallas step is ~20% faster.)
-        use_pallas = noise_impl == "pallas" or (
-            noise_impl == "auto" and _use_pallas_noise(clean.shape))
+        # auto = jnp.  Gate history (BASELINE.md "compile-gate
+        # re-measurement" tables): r1 gated the mesh case to jnp (minutes-
+        # long shard_map+pallas compiles on the then-current jax); r2 on
+        # jax 0.9.0 inverted it (pallas ~20% faster, 12s compiles) and
+        # auto picked pallas-on-TPU; r5 inverted it BACK — after the
+        # block-20 Poisson-CDF unroll (shared by both impls) jnp noise
+        # FUSES into the train program while the (shard_map'd) pallas_call
+        # is a fusion barrier, measuring +3-9% steady across batch 8/16,
+        # mesh and no-mesh, and compiling faster.  "pallas" stays as the
+        # explicit opt-in; re-measure via `bench_variants --modes gate`.
+        use_pallas = noise_impl == "pallas"
         if not use_pallas:
             return synthesize(key, clean, nparams, model=noise_model, clip=True)
 
@@ -226,8 +219,8 @@ def make_train_scan(
         return x
 
     def _synthesize(key, clean, nparams):
-        use_pallas = noise_impl == "pallas" or (
-            noise_impl == "auto" and _use_pallas_noise(clean.shape))
+        # auto = jnp (round-5 gate re-measurement; see make_train_step)
+        use_pallas = noise_impl == "pallas"
         if not use_pallas:
             return synthesize(key, clean, nparams, model=noise_model, clip=True)
         from eld_tpu.noise.kernels import synthesize_pallas

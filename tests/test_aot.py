@@ -42,8 +42,8 @@ def _tiny_train_setup(mesh=None, batch=8):
     model = build_arch("unet", 4, 4, base_width=4)
     state = create_train_state(model, jax.random.PRNGKey(0), (1, 64, 64, 4))
     bank = load_camera_params()
-    # noise_impl pinned to the kernel the TPU 'auto' path picks at this
-    # (lane-aligned) geometry; 'auto' itself would see the CPU host here
+    # noise_impl pinned to "pallas" so the AOT path keeps compile-covering
+    # the fused kernel ('auto' = jnp since the round-5 gate re-measurement)
     step = make_train_step(model, noise_model="eld", bank=bank, mesh=mesh,
                            noise_impl="pallas")
     clean = jax.ShapeDtypeStruct((batch, 64, 64, 4), jnp.float32)
