@@ -1,10 +1,12 @@
 """Host decode-path benchmark tool (tools/bench_decode, VERDICT r3 #6).
 
-The real numbers come from running it at the default geometries on this
-host (recorded in BASELINE.md); CI runs the --small smoke to pin the
-record shape and a very conservative pathology floor (a linear decoder
-on tiny files must clear 0.5 MB/s even on a contended 1-vCPU host —
-tripping it means something went quadratic, not merely slow)."""
+The real numbers are recorded in BASELINE.md "Round-5 decode benchmark"
+(full native geometries, this host: ARW2 93 MB/s, CR2 41, NEF 77, DNG
+1383 single-thread; tiny --small fixtures measured 77-2243 MB/s); CI
+runs the --small smoke to pin the record shape and a pathology floor of
+0.5 MB/s — 150x+ under the measured tiny-fixture numbers, so tripping
+it means the native path silently fell back to the NumPy reader or
+something went quadratic, not that a contended 1-vCPU host was slow."""
 
 import numpy as onp
 
