@@ -217,6 +217,46 @@ def _measure_gate(variant: str) -> dict:
             "patches_per_sec": round(max(timed(100), timed(200)), 2)}
 
 
+def _measure_peak(impl: str, batch: int) -> dict:
+    """Noise-impl A/B at large batch (the peak-throughput regime).
+
+    The round-5 operating-point A/B (BASELINE.md) measured batch 8/16
+    only and flipped auto to jnp; the subsequent full bench showed peak
+    @batch 128 regressing 9.7% — at large batch the per-pixel noise math
+    dominates the step, the regime where the fused Pallas kernel's VPU
+    schedule can beat XLA's generic lowering.  This mode maps the
+    crossover so the auto gate can be batch-aware.  Median-of-5 windows
+    (same rig as bench.py run())."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as onp
+
+    state, step, _ = _build_train("unet_s2d", "concat", "convt", False,
+                                  False, False, noise_impl=impl)
+    b = min(batch, 4) if _SMOKE else batch
+    data = {"clean": jnp.asarray(onp.random.default_rng(0).random(
+        (b, PATCH, PATCH, 4), dtype=onp.float32))}
+    t0 = time.perf_counter()
+    for i in range(WARMUP):
+        state, m = step(state, data, jax.random.PRNGKey(i))
+    float(m["Pixel"])
+    warm_s = time.perf_counter() - t0
+
+    windows = []
+    for w in range(5):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, m = step(state, data, jax.random.PRNGKey(100 * (w + 1) + i))
+        float(m["Pixel"])
+        windows.append(b * STEPS / (time.perf_counter() - t0))
+    s = sorted(windows)
+    med = s[2]
+    return {"noise_impl": impl, "batch": b,
+            "patches_per_sec": round(med, 2),
+            "mad": round(sorted(abs(x - med) for x in windows)[2], 2),
+            "compile_plus_warmup_s": round(warm_s, 1)}
+
+
 def _measure_eval(skip_mode: str, upsample: str, chop: bool = True,
                   batch: int = 1) -> dict:
     """Full-frame eval forward at the SID geometry.
@@ -277,6 +317,11 @@ def _child(argv):
     elif mode == "gate":
         rec = _measure_gate(argv[1])
         rec.update(mode="gate")
+        print(json.dumps(rec), flush=True)
+        return
+    elif mode == "peak":
+        rec = _measure_peak(argv[1], int(argv[2]))
+        rec.update(mode="peak")
         print(json.dumps(rec), flush=True)
         return
     else:
@@ -346,6 +391,11 @@ def main():
     combos += [("eval", sm, "convt", "nochop") for sm in ("concat", "split")]
     combos += [("eval", "split", "convt", "nochop", f"b{b}")
                for b in (4, 8, 16)]
+    if modes and "peak" in modes:
+        # large-batch noise-impl crossover map (see _measure_peak): only on
+        # request — calibration for the batch-aware auto gate
+        combos += [("peak", impl, str(b))
+                   for b in (32, 64, 128) for impl in ("jnp", "pallas")]
     if modes and "gate" in modes:
         # compile-gate re-measurements (steps.py): only on request — they
         # are one-off calibration runs, not part of the standing sweep
