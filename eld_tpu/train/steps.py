@@ -30,6 +30,35 @@ def pixel_loss(pred, target, kind: str = "l1"):
     return init_loss(kind)(pred, target)
 
 
+# noise_impl="auto" crossover, measured on 1x v5e (BASELINE.md "Round-5
+# large-batch noise-impl crossover"): jnp noise FUSES into the train
+# program and wins at per-device batch <= 16 (+4.5% @16, +9.1% @8), the
+# fused Pallas kernel's VPU schedule wins from 32 up (+1.3% @32, +4.7%
+# @64, +11.7% @128) where the per-pixel sampling math dominates the step.
+PALLAS_NOISE_MIN_BATCH = 32
+
+
+def _auto_pallas_noise(clean_shape, mesh=None) -> bool:
+    """The batch-aware half of the ``noise_impl="auto"`` gate.
+
+    Pallas needs a TPU backend and lane-aligned rows; given those, pick it
+    only at large PER-DEVICE batch (the kernel runs per data shard under a
+    mesh), where the round-5 crossover map shows it beating the fused-into-
+    the-program jnp lowering.  Gate history: r1 jnp, r2 pallas-on-TPU, r5
+    jnp at operating points / pallas at large batch — each flip measured
+    (`bench_variants --modes gate,peak`), each recorded in BASELINE.md.
+    """
+    n, h, w, c = clean_shape
+    if mesh is not None and DATA_AXIS in mesh.shape:
+        n = n // mesh.shape[DATA_AXIS]
+    if n < PALLAS_NOISE_MIN_BATCH or (w * c) % 128 or h % 8:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def make_train_step(
     model,
     loss: str = "l1",
@@ -47,9 +76,10 @@ def make_train_step(
     and synthesizes the noisy input on-device; otherwise it takes
     {"input", "target"} paired batches (the ``train_real.py`` path).
 
-    noise_impl: "auto" (= "jnp" since the round-5 re-measurement — see
-    ``_synthesize``), "pallas" (the fused kernel; needs TPU + lane-aligned
-    rows), or "jnp".
+    noise_impl: "auto" (batch-aware since the round-5 crossover map: jnp
+    at per-device batch < 32, the fused Pallas kernel from 32 up on TPU —
+    see ``_auto_pallas_noise``), "pallas" (the fused kernel; needs TPU +
+    lane-aligned rows), or "jnp".
 
     With ``mesh`` the step is jitted with explicit shardings: batch over
     ``data``, state replicated — XLA inserts the gradient psum over ICI.
@@ -64,17 +94,14 @@ def make_train_step(
         raise ValueError("synthetic training needs a CameraParamsBank")
 
     def _synthesize(key, clean, nparams):
-        # auto = jnp.  Gate history (BASELINE.md "compile-gate
-        # re-measurement" tables): r1 gated the mesh case to jnp (minutes-
-        # long shard_map+pallas compiles on the then-current jax); r2 on
-        # jax 0.9.0 inverted it (pallas ~20% faster, 12s compiles) and
-        # auto picked pallas-on-TPU; r5 inverted it BACK — after the
-        # block-20 Poisson-CDF unroll (shared by both impls) jnp noise
-        # FUSES into the train program while the (shard_map'd) pallas_call
-        # is a fusion barrier, measuring +3-9% steady across batch 8/16,
-        # mesh and no-mesh, and compiling faster.  "pallas" stays as the
-        # explicit opt-in; re-measure via `bench_variants --modes gate`.
-        use_pallas = noise_impl == "pallas"
+        # auto = batch-aware (see _auto_pallas_noise): jnp fuses into the
+        # train program and wins at operating-point batches (8/16); the
+        # Pallas kernel wins from per-device batch 32 up, where the
+        # per-pixel sampling math dominates.  "pallas"/"jnp" stay as
+        # explicit opt-ins; re-measure via `bench_variants --modes
+        # gate,peak` (history in BASELINE.md).
+        use_pallas = noise_impl == "pallas" or (
+            noise_impl == "auto" and _auto_pallas_noise(clean.shape, mesh))
         if not use_pallas:
             return synthesize(key, clean, nparams, model=noise_model, clip=True)
 
@@ -219,8 +246,11 @@ def make_train_scan(
         return x
 
     def _synthesize(key, clean, nparams):
-        # auto = jnp (round-5 gate re-measurement; see make_train_step)
-        use_pallas = noise_impl == "pallas"
+        # auto = batch-aware (see make_train_step / _auto_pallas_noise);
+        # the scan path synthesizes per-step (batch,H,W,C) slices, so the
+        # same per-device-batch crossover applies
+        use_pallas = noise_impl == "pallas" or (
+            noise_impl == "auto" and _auto_pallas_noise(clean.shape, mesh))
         if not use_pallas:
             return synthesize(key, clean, nparams, model=noise_model, clip=True)
         from eld_tpu.noise.kernels import synthesize_pallas

@@ -353,3 +353,35 @@ def test_augment_batch_covers_dihedral_orbit(rng):
                    for v in orbit(onp.asarray(y)[i]))
         seen.update(matches)
     assert len(seen) > 1
+
+
+def test_auto_noise_gate_is_batch_aware(monkeypatch):
+    """noise_impl="auto" picks the Pallas kernel only at large PER-DEVICE
+    batch on TPU (round-5 crossover map, BASELINE.md): jnp at batch < 32,
+    pallas from 32 up; mesh data-sharding divides the global batch first;
+    misaligned rows and non-TPU backends always fall back to jnp."""
+    from eld_tpu.train import steps as steps_mod
+    from eld_tpu.train.steps import _auto_pallas_noise, PALLAS_NOISE_MIN_BATCH
+
+    # build the mesh BEFORE patching: steps_mod.jax is the global module,
+    # so patching .devices would otherwise starve make_mesh of devices
+    mesh = make_mesh(MeshSpec(data=8))
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(steps_mod.jax, "devices", lambda: [_Dev()])
+
+    aligned = (512, 512, 4)  # W*C=2048 lane-aligned, H%8==0
+    assert not _auto_pallas_noise((16,) + aligned)
+    assert _auto_pallas_noise((PALLAS_NOISE_MIN_BATCH,) + aligned)
+    assert _auto_pallas_noise((128,) + aligned)
+    # per-device batch under an 8-way data mesh: 128 global -> 16 local
+    assert not _auto_pallas_noise((128,) + aligned, mesh)
+    assert _auto_pallas_noise((256,) + aligned, mesh)
+    # alignment guards (W*C % 128, H % 8) still veto
+    assert not _auto_pallas_noise((128, 512, 37, 4))
+    assert not _auto_pallas_noise((128, 511, 512, 4))
+    # non-TPU backend always falls back to jnp
+    _Dev.platform = "cpu"
+    assert not _auto_pallas_noise((128,) + aligned)
