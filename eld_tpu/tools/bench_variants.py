@@ -118,8 +118,10 @@ def _measure_train_aot(topology, arch, skip_mode, upsample,
                        remat=False, f32=False, skip_bf16=False) -> dict:
     """Static XLA:TPU cost/memory analysis via an offline topology.
 
-    noise_impl follows the shipped 'auto' (= jnp since the round-5 gate
-    re-measurement), which also works offline on the CPU host."""
+    noise_impl is pinned to 'jnp' (the shipped 'auto' resolves to jnp at
+    the sub-32 operating-point batches this AOT path models, and jnp is
+    the impl that also lowers offline on the CPU host — the Pallas
+    kernel is TPU-only)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
