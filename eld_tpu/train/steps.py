@@ -320,7 +320,13 @@ def make_train_scan(
 
 
 def make_eval_forward(model, mesh=None, chop: bool = False):
-    """Jitted inference: (params, x) -> pred; optional 4-tile chop."""
+    """Jitted inference: (params, x) -> pred; optional 4-tile chop.
+
+    The no-chop path edge-pads H/W up to the arch's spatial alignment and
+    crops back, so full frames that are not alignment-multiples (the SID
+    1424x2128 geometry is 16- but not 32-aligned, and unet_s2d needs 32)
+    run instead of failing in the decoder concats.  The branch resolves at
+    trace time — already-aligned inputs compile to the bare forward."""
     from eld_tpu.ops.chop import forward_chop
 
     # tile geometry must honor the arch's own spatial alignment
@@ -332,7 +338,13 @@ def make_eval_forward(model, mesh=None, chop: bool = False):
         apply_fn = lambda t: model.apply({"params": params}, t)
         if chop:
             return forward_chop(apply_fn, x, base=base)
-        return apply_fn(x)
+        h, w = x.shape[1], x.shape[2]
+        hp, wp = -(-h // base) * base, -(-w // base) * base
+        if (hp, wp) == (h, w):
+            return apply_fn(x)
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                    mode="edge")
+        return apply_fn(x)[:, :h, :w]
 
     if mesh is None:
         return jax.jit(fwd)

@@ -70,3 +70,31 @@ def test_chop_honors_arch_alignment(rng):
     plain = make_eval_forward(m, chop=False)(p, x2)
     onp.testing.assert_allclose(onp.asarray(fwd(p, x2)),
                                 onp.asarray(plain), atol=1e-5)
+
+
+def test_nochop_pads_to_arch_alignment(rng):
+    """make_eval_forward(chop=False) must run frames that are NOT
+    alignment-multiples: the SID full frame (1424x2128) is 16- but not
+    32-aligned, so unet_s2d under the no-chop serving default would
+    otherwise die in its decoder concats (Engine.eval crop=False is
+    exactly this path — eld-test-eld without --chop)."""
+    from eld_tpu.models import build_arch
+    from eld_tpu.train.steps import make_eval_forward
+
+    m = build_arch("unet_s2d", 4, 4, base_width=8)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))["params"]
+    fwd = make_eval_forward(m, chop=False)
+    # 16-aligned but not 32-aligned, the SID-geometry failure shape class
+    x = jnp.asarray(rng.random((1, 80, 112, 4), dtype=onp.float32))
+    out = fwd(p, x)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+    # interior pixels must match the forward on an edge-padded frame
+    # cropped back (the pad is 'edge', so the interior is unaffected by
+    # construction only up to the receptive field — check exact equality
+    # against the reference padding done by hand)
+    xp = jnp.pad(x, ((0, 0), (0, 96 - 80), (0, 128 - 112), (0, 0)),
+                 mode="edge")
+    by_hand = m.apply({"params": p}, xp)[:, :80, :112]
+    onp.testing.assert_allclose(onp.asarray(out), onp.asarray(by_hand),
+                                atol=1e-6)
