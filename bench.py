@@ -86,7 +86,8 @@ def _diagnostic_record(error):
     }
     for k in ("peak_patches_per_sec", "peak_batch",
               "parity_unet_patches_per_sec", "scan_patches_per_sec",
-              "eval_fullframe_fps", "serving_fullframe_fps"):
+              "eval_fullframe_fps", "serving_fullframe_fps",
+              "serving_s2d_fullframe_fps"):
         if k in _partials:
             rec[k] = _partials[k]
     return rec
@@ -239,7 +240,7 @@ def run_scan(batch=16, steps_per_call=10, pool_size=64, k=K_WINDOWS):
             "windows": [round(x, 2) for x in windows]}
 
 
-def run_eval_fullframe(skip_mode="concat", chop=True):
+def run_eval_fullframe(skip_mode="concat", chop=True, arch="unet"):
     """Full-frame eval throughput (frames/s) at the real SID geometry
     (1424x2128x4 packed Sony A7S2).
 
@@ -249,11 +250,13 @@ def run_eval_fullframe(skip_mode="concat", chop=True):
     passing the Config defaults, so a serving-default flip automatically
     changes what the bench reports (VERDICT r4 #1: the record previously
     under-reported the serving capability by only benching the parity
-    protocol)."""
+    protocol).  ``arch="unet_s2d"`` measures the promoted arch's serving
+    capability (serving_s2d_fullframe_fps); make_eval_forward edge-pads
+    the 1424x2128 frame to its 32-px alignment and crops back."""
     from eld_tpu.models import build_arch
     from eld_tpu.train.steps import make_eval_forward
 
-    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16, skip_mode=skip_mode)
+    model = build_arch(arch, 4, 4, dtype=jnp.bfloat16, skip_mode=skip_mode)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 4)))["params"]
     fwd = make_eval_forward(model, chop=chop)
     x = jnp.asarray(
@@ -394,6 +397,20 @@ def main():
     except Exception as e:
         print(f"[bench] serving eval failed: {type(e).__name__}", file=sys.stderr)
         serving_fps = None
+    try:
+        from eld_tpu.config import Config as _Cfg
+
+        _c = _Cfg()
+        serving_s2d_fps = run_eval_fullframe(skip_mode=_c.skip_mode,
+                                             chop=_c.chop, arch="unet_s2d")
+        print(f"[bench] serving s2d full-frame ({_c.skip_mode}, "
+              f"chop={_c.chop}): {serving_s2d_fps:.2f} frames/s",
+              file=sys.stderr)
+        _partials["serving_s2d_fullframe_fps"] = round(serving_s2d_fps, 2)
+    except Exception as e:
+        print(f"[bench] serving s2d eval failed: {type(e).__name__}",
+              file=sys.stderr)
+        serving_s2d_fps = None
     record = {
         "metric": "syn_train_throughput_512px",
         "value": round(best, 2),
@@ -425,6 +442,8 @@ def main():
         record["serving_fullframe_fps"] = round(serving_fps, 2)
         record["serving_config"] = {"skip_mode": serving_cfg.skip_mode,
                                     "chop": serving_cfg.chop}
+    if serving_s2d_fps is not None:
+        record["serving_s2d_fullframe_fps"] = round(serving_s2d_fps, 2)
     _finished.set()
     print(json.dumps(record))
 

@@ -260,7 +260,7 @@ def _measure_peak(impl: str, batch: int) -> dict:
 
 
 def _measure_eval(skip_mode: str, upsample: str, chop: bool = True,
-                  batch: int = 1) -> dict:
+                  batch: int = 1, arch: str = "unet") -> dict:
     """Full-frame eval forward at the SID geometry.
 
     ``chop=True`` is the reference's released eval protocol (4-tile
@@ -268,8 +268,11 @@ def _measure_eval(skip_mode: str, upsample: str, chop: bool = True,
     whole frame through the net in one program — batch-1 temp HBM is only
     2.34 GB on v5e (round-3 AOT study), so chop is a latency CHOICE here,
     not a memory necessity.  ``batch>1`` measures offline-reprocessing
-    throughput (many frames, latency-insensitive).  Median of 5 windows
-    with MAD, same robustness rig as bench.py."""
+    throughput (many frames, latency-insensitive).  ``arch`` defaults to
+    the parity topology; ``unet_s2d`` measures the promoted arch's
+    serving capability (make_eval_forward edge-pads 1424x2128 to its
+    32-px alignment and crops back).  Median of 5 windows with MAD, same
+    robustness rig as bench.py."""
     import jax
     import jax.numpy as jnp
     import numpy as onp
@@ -277,7 +280,7 @@ def _measure_eval(skip_mode: str, upsample: str, chop: bool = True,
     from eld_tpu.models import build_arch
     from eld_tpu.train.steps import make_eval_forward
 
-    model = build_arch("unet", 4, 4, dtype=jnp.bfloat16,
+    model = build_arch(arch, 4, 4, dtype=jnp.bfloat16,
                        skip_mode=skip_mode, upsample=upsample)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 64, 4)))["params"]
@@ -330,13 +333,16 @@ def _child(argv):
         skip_mode, upsample = argv[1:3]
         flags = argv[3:]
         chop = "nochop" not in flags
-        batch = next((int(f[1:]) for f in flags if f.startswith("b")), 1)
+        arch = "unet_s2d" if "s2d" in flags else "unet"
+        batch = next((int(f[1:]) for f in flags
+                      if f.startswith("b") and f[1:].isdigit()), 1)
         if aot:
             rec = _measure_eval_aot(aot, skip_mode, upsample, chop=chop,
                                     batch=batch)
         else:
-            rec = _measure_eval(skip_mode, upsample, chop=chop, batch=batch)
-        rec.update(mode="eval_fullframe", arch="unet")
+            rec = _measure_eval(skip_mode, upsample, chop=chop, batch=batch,
+                                arch=arch)
+        rec.update(mode="eval_fullframe", arch=arch)
     rec.update(skip_mode=skip_mode, upsample=upsample)
     print(json.dumps(rec), flush=True)
 
@@ -393,6 +399,11 @@ def main():
     combos += [("eval", sm, "convt", "nochop") for sm in ("concat", "split")]
     combos += [("eval", "split", "convt", "nochop", f"b{b}")
                for b in (4, 8, 16)]
+    # promoted-arch serving capability: unet_s2d full frame (edge-padded
+    # to its 32-px alignment by make_eval_forward), chop and no-chop,
+    # at the shipped split decoder
+    combos += [("eval", "split", "convt", "s2d"),
+               ("eval", "split", "convt", "nochop", "s2d")]
     if modes and "peak" in modes:
         # large-batch noise-impl crossover map (see _measure_peak): only on
         # request — calibration for the batch-aware auto gate
