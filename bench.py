@@ -301,23 +301,50 @@ def peak_only():
     print(json.dumps({}))
 
 
-def measure_peak_subprocess():
+# Time the rest of the bench (probe-after-child + headline curve + parity +
+# scan + eval/serving) needs after the peak child returns; the peak retry
+# below never spends into this reserve, so a wedged child can delay but
+# never starve the headline measurement.
+PEAK_REST_RESERVE_S = 900
+
+
+def measure_peak_subprocess(deadline_ts=None):
     """Run peak_only in a child process BEFORE this process touches the
-    TPU (the chip admits one client at a time on this rig)."""
+    TPU (the chip admits one client at a time on this rig).
+
+    Retries ONCE within the time budget: the observed failure mode is the
+    child wedging on the tunnel claim while the chip is healthy (r5: the
+    child burned its whole timeout, then the parent claimed instantly) —
+    the NOTES playbook's "rerun once before concluding outage".  Each
+    attempt's timeout is clamped so BENCH_DEADLINE_S minus the elapsed
+    time always keeps PEAK_REST_RESERVE_S for the rest of the bench; an
+    attempt that can't get >=180 s (claim + compile + measure floor) is
+    skipped instead, dropping only the peak field."""
     import subprocess
 
-    try:
-        out = subprocess.run(
-            [sys.executable, __file__, "--peak-only"],
-            capture_output=True, text=True, timeout=900)
-        sys.stderr.write(out.stderr)
-        rec = json.loads(out.stdout.strip().splitlines()[-1])
-        if "peak" in rec:
-            print(f"[bench] peak batch {rec['batch']}: {rec['peak']:.2f} "
-                  f"patches/s (mad {rec.get('mad')})", file=sys.stderr)
-            return rec
-    except Exception as e:
-        print(f"[bench] peak subprocess failed: {type(e).__name__}", file=sys.stderr)
+    for attempt in (0, 1):
+        budget = 900.0
+        if deadline_ts is not None:
+            budget = min(budget, deadline_ts - time.time() - PEAK_REST_RESERVE_S)
+        if budget < 180:
+            print(f"[bench] peak attempt {attempt} skipped: "
+                  f"{budget:.0f}s left before the rest-of-bench reserve",
+                  file=sys.stderr)
+            return None
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--peak-only"],
+                capture_output=True, text=True, timeout=budget)
+            sys.stderr.write(out.stderr)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            if "peak" in rec:
+                print(f"[bench] peak batch {rec['batch']}: {rec['peak']:.2f} "
+                      f"patches/s (mad {rec.get('mad')})", file=sys.stderr)
+                return rec
+            return None  # child ran but found no workable batch: no retry
+        except Exception as e:
+            print(f"[bench] peak subprocess attempt {attempt} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
     return None
 
 
@@ -335,9 +362,10 @@ def main():
         _emit(_diagnostic_record("tpu_unreachable"))
         sys.exit(2)
     print(f"[bench] device probe ok: platform={platform}", file=sys.stderr)
+    deadline_ts = time.time() + BENCH_DEADLINE_S
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    peak_rec = measure_peak_subprocess()
+    peak_rec = measure_peak_subprocess(deadline_ts)
     if peak_rec is not None:
         _partials["peak_patches_per_sec"] = round(peak_rec["peak"], 2)
         _partials["peak_batch"] = peak_rec["batch"]
