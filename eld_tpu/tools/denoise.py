@@ -30,6 +30,13 @@ Amplification comes from ``--ratio`` (fixed) or ``--target_exposure``
 [+ ``--target_iso``] (per-file, derived from the input's own EXIF with
 the ELD protocol's iso*expo arithmetic).  ``--batch N`` forwards
 same-geometry frames together for throughput.
+
+Serving is pipelined: raw decode/pack runs ahead of the device on a
+bounded thread pool, and PNG/npz writes are handed to background
+writers, so host IO overlaps device compute instead of serializing with
+it (``--io_threads 0`` restores the fully synchronous path).  The
+native decoder is handle-per-file with no global state, so parallel
+decodes are safe (``native/rawio``).
 """
 
 from __future__ import annotations
@@ -38,6 +45,8 @@ import argparse
 import json
 import os
 import sys
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 
 RAW_EXTS = (".arw", ".cr2", ".nef", ".dng", ".tif", ".tiff", ".npz",
@@ -53,6 +62,28 @@ def _list_inputs(path: str):
             raise FileNotFoundError(f"{path}: no raw files ({RAW_EXTS})")
         return files
     return [path]
+
+
+def _prefetched(fn, items, workers: int, window: int):
+    """Ordered, bounded-in-flight background map.
+
+    Yields ``fn(item)`` in input order while up to ``window`` decodes run
+    ahead on ``workers`` threads — the consumer (device forward) never
+    waits on host decode unless it outruns the window.  ``workers <= 0``
+    degenerates to a plain synchronous loop.  Exceptions surface at the
+    failing item's position, exactly like the synchronous order."""
+    if workers <= 0:
+        for item in items:
+            yield fn(item)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = deque()
+        for item in items:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= window:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
 
 
 def _aligned_forward(fwd, x, base: int = 16, target=None):
@@ -96,6 +127,14 @@ def main(argv=None):
                    help="forward same-geometry frames together in "
                         "batches of this size (throughput; one XLA "
                         "program per distinct geometry)")
+    p.add_argument("--io_threads", type=int, default=2,
+                   help="host-IO pipelining: decode raw files ahead of "
+                        "the device and write PNG/npz outputs in "
+                        "background threads (this many of each). "
+                        "Outputs are guaranteed on disk at the final "
+                        "summary line; 0 = fully synchronous, minimal "
+                        "memory (~2x batch frames are held while "
+                        "pipelined)")
     p.add_argument("--out", required=True, help="output directory")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--model_path",
@@ -123,6 +162,8 @@ def main(argv=None):
     p.add_argument("--save_raw", action="store_true",
                    help="also write the denoised packed raw as .npz")
     ns = p.parse_args(argv)
+    if ns.io_threads < 0:
+        p.error("--io_threads must be >= 0")
 
     import jax
     import jax.numpy as jnp
@@ -195,6 +236,15 @@ def main(argv=None):
 
     results = []
     used_names = set()
+    writer = (ThreadPoolExecutor(max_workers=ns.io_threads)
+              if ns.io_threads > 0 else None)
+    writes = []
+
+    def submit_write(fn, *a, **kw):
+        if writer is None:
+            fn(*a, **kw)
+        else:
+            writes.append(writer.submit(fn, *a, **kw))
 
     def out_path(path, suffix):
         """Collision-safe output name (IMG_0001.ARW next to IMG_0001.dng
@@ -230,27 +280,41 @@ def main(argv=None):
             raw = g["raw"]
             rgb = onp.asarray(isp.raw2rgb(pred, raw.wb, raw.ccm, crf=crf))
             png = out_path(g["path"], ".png")
-            save_png(png, rgb * 255.0)
+            submit_write(save_png, png, rgb * 255.0)
             rec = {"input": g["path"], "output": png, "ratio": g["ratio"]}
             if ns.save_raw:
                 npz = out_path(g["path"], ".npz")
-                onp.savez_compressed(npz, packed=pred, wb=raw.wb,
-                                     ccm=raw.ccm)
+                submit_write(onp.savez_compressed, npz, packed=pred,
+                             wb=raw.wb, ccm=raw.ccm)
                 rec["raw_output"] = npz
             print(json.dumps(rec), file=sys.stderr)
             results.append(rec)
 
-    pending = {}  # packed shape -> same-geometry frames awaiting a batch
-    for path in _list_inputs(ns.input):
+    def decode_one(path):
+        """Host half of a frame: native decode, pack, amplify, clip —
+        exactly the sequential preprocessing, hoisted onto the prefetch
+        pool so it overlaps the previous group's device forward."""
         raw = rawio.imread(path)
         ratio = ratio_for(path, raw)
         x = onp.clip(raw.packed() * ratio, 0.0, 1.0)
-        group = pending.setdefault(x.shape, [])
-        group.append({"path": path, "raw": raw, "x": x, "ratio": ratio})
-        if len(group) >= ns.batch:
-            serve(pending.pop(x.shape))
-    for shape in list(pending):
-        serve(pending.pop(shape))
+        return {"path": path, "raw": raw, "x": x, "ratio": ratio}
+
+    try:
+        window = max(2 * ns.batch, 2 * max(ns.io_threads, 1))
+        pending = {}  # packed shape -> same-geometry frames awaiting a batch
+        for g in _prefetched(decode_one, _list_inputs(ns.input),
+                             ns.io_threads, window):
+            group = pending.setdefault(g["x"].shape, [])
+            group.append(g)
+            if len(group) >= ns.batch:
+                serve(pending.pop(g["x"].shape))
+        for shape in list(pending):
+            serve(pending.pop(shape))
+        for w in writes:
+            w.result()  # surface write errors before declaring success
+    finally:
+        if writer is not None:
+            writer.shutdown(wait=True)
     print(json.dumps({"count": len(results), "out": ns.out}))
     return results
 

@@ -122,6 +122,54 @@ def test_denoise_cli_all_vendor_formats(tmp_path):
         assert 0.0 <= z["packed"].min() and z["packed"].max() <= 1.0
 
 
+def test_denoise_pipelined_matches_sync(tmp_path):
+    """The default pipelined serving (decode-ahead + background writes,
+    --io_threads 2) must produce exactly the synchronous path's outputs:
+    same records in the same order, identical pixels and raw dumps, for
+    a mixed-geometry directory with batching."""
+    from eld_tpu.train import create_train_state
+    from eld_tpu.train.checkpoints import save_checkpoint
+
+    d = tmp_path / "raws"
+    d.mkdir()
+    for i in range(3):
+        _write_dng(d / f"a{i}.dng", h=64, w=64, seed=10 + i)
+    for i in range(2):
+        _write_dng(d / f"b{i}.dng", h=72, w=80, seed=20 + i)
+
+    model = build_arch("unet", 4, 4, base_width=8)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    ckpt = save_checkpoint(str(tmp_path / "ckpts"), state, label="latest")
+
+    runs = {}
+    for tag, threads in (("sync", "0"), ("pipe", "2")):
+        out = str(tmp_path / tag)
+        runs[tag] = main(["--input", str(d), "--ratio", "100",
+                          "--model_path", ckpt, "--base_width", "8",
+                          "--batch", "2", "--io_threads", threads,
+                          "--out", out, "--save_raw"])
+    assert [r["input"] for r in runs["sync"]] == \
+           [r["input"] for r in runs["pipe"]]  # grouping order preserved
+    for rs, rp in zip(runs["sync"], runs["pipe"]):
+        assert rs["ratio"] == rp["ratio"]
+        assert onp.array_equal(load_png(rs["output"]),
+                               load_png(rp["output"]))
+        zs, zp = onp.load(rs["raw_output"]), onp.load(rp["raw_output"])
+        for k in ("packed", "wb", "ccm"):
+            assert onp.array_equal(zs[k], zp[k]), k
+
+    # a corrupt file mid-directory surfaces its decode error through the
+    # prefetch pool, at the same point the synchronous loop would raise
+    import pytest
+
+    from eld_tpu.data.rawio import UnsupportedRawError
+
+    (d / "a9.dng").write_bytes(b"not a raw file at all")
+    with pytest.raises(UnsupportedRawError):
+        main(["--input", str(d), "--ratio", "100", "--model_path", ckpt,
+              "--base_width", "8", "--out", str(tmp_path / "err")])
+
+
 def test_denoise_cli_from_artifact_and_dir(tmp_path):
     """Directory of raws through a .eldx artifact; a geometry mismatch
     dies with the re-export hint instead of a StableHLO shape error."""
