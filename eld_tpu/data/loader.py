@@ -149,6 +149,87 @@ class Loader:
             stop.set()
 
 
+def prefetched_map(fn, items, workers: int, window: int):
+    """Ordered, bounded-in-flight background map.
+
+    Yields ``fn(item)`` in input order while up to ``window`` calls run
+    ahead on ``workers`` threads, so the consumer (typically a device
+    forward) only waits on host work when it outruns the window.
+    ``workers <= 0`` degenerates to a plain synchronous loop; exceptions
+    surface at the failing item's position, exactly like the synchronous
+    order.  ``fn`` must be safe to call concurrently on distinct items
+    (native decode and patch-store reads are: handle-per-call, GIL
+    released)."""
+    if workers <= 0:
+        for item in items:
+            yield fn(item)
+        return
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs: deque = deque()
+        for item in items:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= window:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+
+
+def readahead(iterator, size: int = 2):
+    """Run ``iterator`` on a background thread with a bounded queue.
+
+    Exact pass-through semantics (same items, same order, exceptions
+    re-raised at their position) — the only change is WHEN the producer
+    runs: item i+1's host work (raw decode, packing) overlaps the
+    consumer's device compute on item i.  ``size <= 0`` returns the
+    iterator unchanged.  The producer thread is reclaimed when the
+    consumer finishes or abandons the generator."""
+    if size <= 0:
+        return iterator
+
+    def gen():
+        q: queue.Queue = queue.Queue(maxsize=size)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for item in iterator:
+                    if not put(item):
+                        return
+            except BaseException as e:  # noqa: BLE001 - re-raised consumer-side
+                put(e)
+                return
+            put(_DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    return gen()
+
+
+_DONE = object()  # readahead sentinel: None is a legal iterator item
+
+
 def prefetch_to_device(iterator, mesh, size: int = 2, filter_arrays: bool = True):
     """Wrap a host batch iterator with async device placement: batch i+1's
     host->device transfer overlaps batch i's compute (device_put is async).

@@ -45,7 +45,6 @@ import argparse
 import json
 import os
 import sys
-from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 
@@ -62,28 +61,6 @@ def _list_inputs(path: str):
             raise FileNotFoundError(f"{path}: no raw files ({RAW_EXTS})")
         return files
     return [path]
-
-
-def _prefetched(fn, items, workers: int, window: int):
-    """Ordered, bounded-in-flight background map.
-
-    Yields ``fn(item)`` in input order while up to ``window`` decodes run
-    ahead on ``workers`` threads — the consumer (device forward) never
-    waits on host decode unless it outruns the window.  ``workers <= 0``
-    degenerates to a plain synchronous loop.  Exceptions surface at the
-    failing item's position, exactly like the synchronous order."""
-    if workers <= 0:
-        for item in items:
-            yield fn(item)
-        return
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        futs = deque()
-        for item in items:
-            futs.append(ex.submit(fn, item))
-            if len(futs) >= window:
-                yield futs.popleft().result()
-        while futs:
-            yield futs.popleft().result()
 
 
 def _aligned_forward(fwd, x, base: int = 16, target=None):
@@ -299,11 +276,13 @@ def main(argv=None):
         x = onp.clip(raw.packed() * ratio, 0.0, 1.0)
         return {"path": path, "raw": raw, "x": x, "ratio": ratio}
 
+    from eld_tpu.data.loader import prefetched_map
+
     try:
         window = max(2 * ns.batch, 2 * max(ns.io_threads, 1))
         pending = {}  # packed shape -> same-geometry frames awaiting a batch
-        for g in _prefetched(decode_one, _list_inputs(ns.input),
-                             ns.io_threads, window):
+        for g in prefetched_map(decode_one, _list_inputs(ns.input),
+                                ns.io_threads, window):
             group = pending.setdefault(g["x"].shape, [])
             group.append(g)
             if len(group) >= ns.batch:

@@ -426,11 +426,16 @@ class Engine:
                 yield i, n, item
 
     def eval(self, loader, dataset_name: str, savedir=None, loss_key=None,
-             correct: bool = True, crop: bool = True, **kw):
+             correct: bool = True, crop: bool = True, prefetch: int = 2,
+             **kw):
+        from eld_tpu.data.loader import readahead
+
         meters = AverageMeters()
         world = jax.process_count()
-        # Each host PNG-dumps only its own items.
-        for i, n, item in self._local_items(loader):
+        # Each host PNG-dumps only its own items; item i+1's raw decode
+        # runs on a background thread while the device evaluates item i
+        # (readahead is an exact pass-through — prefetch=0 to disable)
+        for i, n, item in readahead(self._local_items(loader), prefetch):
             res = self.eval_one(item, correct=correct, crop=crop,
                                 savedir=savedir, **kw)
             meters.update(res)
@@ -502,13 +507,15 @@ class Engine:
         except (FileNotFoundError, ValueError):
             pass
 
-    def test(self, loader, savedir=None):
+    def test(self, loader, savedir=None, prefetch: int = 2):
         """Inference-only pass (no targets): denoise + save sRGB previews.
         Pod processes stride-shard the items (each writes only its own
-        PNGs — duplicated full passes would race on the shared paths)."""
+        PNGs — duplicated full passes would race on the shared paths).
+        Decode read-ahead overlaps device compute, as in eval."""
+        from eld_tpu.data.loader import readahead
         from eld_tpu.utils.images import save_png
 
-        for i, n, item in self._local_items(loader):
+        for i, n, item in readahead(self._local_items(loader), prefetch):
             inp = jnp.asarray(item["input"])
             if inp.ndim == 3:
                 inp = inp[None]

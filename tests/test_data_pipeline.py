@@ -242,6 +242,49 @@ def test_loader_propagates_dataset_errors(clean_store):
         list(loader)
 
 
+def test_prefetched_map_order_and_errors():
+    """prefetched_map yields fn(item) in input order with bounded
+    concurrency; an exception surfaces at the failing item's position,
+    after the preceding items — exactly the synchronous order."""
+    from eld_tpu.data.loader import prefetched_map
+
+    out = list(prefetched_map(lambda x: x * 2, range(10), workers=3, window=4))
+    assert out == [x * 2 for x in range(10)]
+    assert list(prefetched_map(lambda x: x, range(3), 0, 4)) == [0, 1, 2]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("item 5")
+        return x
+
+    got = []
+    with pytest.raises(ValueError, match="item 5"):
+        for v in prefetched_map(boom, range(10), 3, 4):
+            got.append(v)
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_readahead_passthrough_and_errors():
+    """readahead is an exact pass-through (same items incl. None, same
+    order, exceptions at their position); size<=0 returns the iterator."""
+    from eld_tpu.data.loader import readahead
+
+    assert list(readahead(iter(range(7)), 2)) == list(range(7))
+    it = iter(range(3))
+    assert readahead(it, 0) is it
+
+    def gen():
+        yield 1
+        yield None  # None is a legal item (the sentinel is private)
+        raise RuntimeError("producer died")
+
+    got = []
+    with pytest.raises(RuntimeError, match="producer died"):
+        for v in readahead(gen(), 2):
+            got.append(v)
+    assert got == [1, None]
+
+
 def test_build_dataset_cli(tmp_path, rng):
     """build_dataset CLI: clean recipe over a fixture SID tree."""
     from eld_tpu.data.pairs import sid_pairs

@@ -69,6 +69,20 @@ def test_eval_batch_matches_per_item(tmp_path, clean_store, rng):
         assert batched[k] == pytest.approx(onp.mean([s[k] for s in singles]), abs=1e-4)
 
 
+def test_eval_prefetch_matches_sync(tmp_path, rng):
+    """Engine.eval's decode read-ahead (prefetch=2, the default) must
+    reproduce the synchronous loop's metrics exactly — readahead only
+    moves WHEN items materialize, never what or in which order."""
+    cfg = small_cfg(tmp_path, is_train=False)
+    engine = Engine(cfg)
+    items = [{"input": rng.random((32, 32, 4), dtype=onp.float32),
+              "target": rng.random((32, 32, 4), dtype=onp.float32)}
+             for _ in range(5)]
+    m0 = engine.eval(items, dataset_name="sync", crop=False, prefetch=0)
+    m2 = engine.eval(items, dataset_name="pipe", crop=False, prefetch=2)
+    assert m0.as_dict() == m2.as_dict()
+
+
 @pytest.mark.slow
 def test_engine_checkpoint_roundtrip(tmp_path, clean_store):
     cfg = small_cfg(tmp_path, no_log=False)
